@@ -1,0 +1,184 @@
+"""Matrix-free DG assembly primitives.
+
+This module is the TPU-native replacement for the reference's TSFC-compiled
+element kernels + PyOP2 par_loops (SURVEY.md section 2.9 item 2): every weak-form
+integral is evaluated as batched dense tensor contractions over the mesh's
+static cell/facet tables.
+
+Design (scatter-free):
+  1. *evaluate*: gather dof values, tabulate solution/fields at cell and
+     facet quadrature points (batched matmuls -> MXU/VPU friendly),
+  2. *accumulate*: terms add their integrands into shared quadrature-point
+     accumulators (pure elementwise math -> XLA fuses across terms),
+  3. *project*: accumulators are tested against basis (matmuls) and facet
+     contributions are *gathered* per cell via ``cell_facets``/``cell_sides``
+     (no scatter-add in the hot loop).
+
+Accumulator conventions (R = d(u)/dt weak residual, reference sign):
+  acc_cell  (nc, nq[, k])       tested against   test value
+  acc_grad  (nc, nq[, k], 2)    tested against   d(test)/dx_i
+  acc_facet (nf, 2, nqf[, k])   tested against   per-side test trace
+  acc_fgrad (nf, 2, nqf[, k], 2) tested against  per-side trace of grad(test)
+"""
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["DGAssembler"]
+
+
+def _wexpand(w, acc, ndim_head):
+    """Reshape weight array w to broadcast against acc beyond ndim_head axes."""
+    extra = acc.ndim - ndim_head
+    return w.reshape(w.shape + (1,) * extra)
+
+
+class DGAssembler:
+    """Assembly context for one (mesh, element, quadrature) combination.
+
+    All methods are pure jnp functions of their array arguments; the tables
+    captured at construction are static."""
+
+    def __init__(self, mesh, space):
+        self.mesh = mesh
+        self.space = space
+        el = space.element
+        self.ndofs = el.ndofs
+
+        # host-side exact reference mass matrix and inverse
+        tab = space._tab_np
+        Mref = np.einsum("q,qd,qe->de", tab["qw"], tab["phi"], tab["phi"])
+        self._Mref_np = Mref
+        self._Mref_inv_np = np.linalg.inv(Mref)
+        self.Mref = jnp.asarray(Mref)
+        self.Mref_inv = jnp.asarray(self._Mref_inv_np)
+
+    # -- cached device tables -------------------------------------------
+    @property
+    def wdetJ(self):  # (nc, nq)
+        return self.space.qw[None, :] * self.mesh.detJ[:, None]
+
+    @property
+    def wlen(self):  # (nf, nqf)
+        return self.space.qwf[None, :] * self.mesh.facet_len[:, None]
+
+    def _side_tab(self, s):
+        """Facet basis tabulation for side s: (nf, nqf, nd)."""
+        return self.space.phi_f[self.mesh.facet_variant[:, s]]
+
+    def _side_gtab(self, s):
+        """Physical facet basis gradients for side s: (nf, nqf, nd, 2)."""
+        dphi = self.space.dphi_f[self.mesh.facet_variant[:, s]]  # (nf,nqf,nd,2)
+        Jinv = self.mesh.Jinv[self.mesh.facet_cells[:, s]]  # (nf,2,2)
+        return jnp.einsum("fqdj,fji->fqdi", dphi, Jinv)
+
+    # ======================= evaluation ================================
+    def cell_values(self, u):
+        """(nc, nd[, k]) dofs -> (nc, nq[, k]) quad-point values."""
+        return jnp.einsum("qd,cd...->cq...", self.space.phi, u)
+
+    def cell_grads(self, u):
+        """(nc, nd[, k]) -> (nc, nq[, k], 2) physical gradients."""
+        g = jnp.einsum("qdj,cd...->cq...j", self.space.dphi, u)
+        return jnp.einsum("cq...j,cji->cq...i", g, self.mesh.Jinv)
+
+    def facet_traces(self, u):
+        """(nc, nd[, k]) -> (nf, 2, nqf[, k]) both-side traces."""
+        out = []
+        for s in (0, 1):
+            cd = u[self.mesh.facet_cells[:, s]]  # (nf, nd[,k])
+            out.append(jnp.einsum("fqd,fd...->fq...", self._side_tab(s), cd))
+        return jnp.stack(out, axis=1)
+
+    def facet_trace_grads(self, u):
+        """(nc, nd[, k]) -> (nf, 2, nqf[, k], 2)."""
+        out = []
+        for s in (0, 1):
+            cd = u[self.mesh.facet_cells[:, s]]
+            out.append(
+                jnp.einsum("fqdi,fd...->fq...i", self._side_gtab(s), cd)
+            )
+        return jnp.stack(out, axis=1)
+
+    def facet_midpoint_data(self, vertex_field):
+        """Evaluate a P1CG (per-vertex) coefficient at facet quad points:
+        (nv,) -> (nf, nqf).  Linear along the facet."""
+        fv = self.mesh.facet_verts
+        a = vertex_field[fv[:, 0]]
+        b = vertex_field[fv[:, 1]]
+        t = self.space.tab("qt") if "qt" in self.space._tab_np else None
+        if t is None:
+            raise RuntimeError
+        return a[:, None] + (b - a)[:, None] * t[None, :]
+
+    # ======================= projection ================================
+    def cell_to_dofs(self, acc):
+        """(nc, nq[, k]) -> (nc, nd[, k])."""
+        accw = acc * _wexpand(self.wdetJ, acc, 2)
+        return jnp.einsum("cq...,qd->cd...", accw, self.space.phi)
+
+    def grad_to_dofs(self, acc):
+        """(nc, nq[, k], 2) -> (nc, nd[, k])."""
+        accw = acc * _wexpand(self.wdetJ[..., None], acc, 3)
+        # d(test_d)/dx_i = dphi[q,d,j] Jinv[c,j,i]
+        return jnp.einsum(
+            "cq...i,qdj,cji->cd...", accw, self.space.dphi, self.mesh.Jinv
+        )
+
+    def _gather_cells(self, contrib):
+        """(nf, 2, nd[, k]) per-side facet contributions -> (nc, nd[, k])."""
+        g = contrib[self.mesh.cell_facets, self.mesh.cell_sides]
+        return g.sum(axis=1)
+
+    def facet_to_dofs(self, acc):
+        """(nf, 2, nqf[, k]) -> (nc, nd[, k])."""
+        sides = []
+        for s in (0, 1):
+            a = acc[:, s]
+            aw = a * _wexpand(self.wlen, a, 2)
+            sides.append(jnp.einsum("fq...,fqd->fd...", aw, self._side_tab(s)))
+        return self._gather_cells(jnp.stack(sides, axis=1))
+
+    def fgrad_to_dofs(self, acc):
+        """(nf, 2, nqf[, k], 2) -> (nc, nd[, k])."""
+        sides = []
+        for s in (0, 1):
+            a = acc[:, s]
+            aw = a * _wexpand(self.wlen[..., None], a, 3)
+            sides.append(
+                jnp.einsum("fq...i,fqdi->fd...", aw, self._side_gtab(s))
+            )
+        return self._gather_cells(jnp.stack(sides, axis=1))
+
+    # ======================= mass operators ============================
+    def mass_apply(self, u):
+        """Block-diagonal DG mass matrix action (exact for affine cells)."""
+        return jnp.einsum("de,ce...->cd...", self.Mref, u) * _wexpand(
+            self.mesh.detJ[:, None], u, 2
+        )
+
+    def mass_inverse(self, r):
+        """Exact inverse mass action (the reference needs a PETSc solve;
+        for DG this is a closed-form 3x3 block inverse)."""
+        return jnp.einsum("de,ce...->cd...", self.Mref_inv, r) / _wexpand(
+            self.mesh.detJ[:, None], r, 2
+        )
+
+    def project_rhs(self, fq):
+        """L2-project quad-point values (nc, nq[, k]) onto DG dofs."""
+        return self.mass_inverse(self.cell_to_dofs(fq))
+
+    # ======================= integrals =================================
+    def integrate_cellq(self, fq):
+        """Integrate quad-point values over the domain."""
+        return jnp.einsum("cq...,cq->...", fq, self.wdetJ)
+
+    def integrate(self, u):
+        return self.integrate_cellq(self.cell_values(u))
+
+    def norm_l2(self, u):
+        v = self.cell_values(u)
+        if v.ndim == 3:
+            v2 = (v**2).sum(-1)
+        else:
+            v2 = v**2
+        return jnp.sqrt(jnp.einsum("cq,cq->", v2, self.wdetJ))

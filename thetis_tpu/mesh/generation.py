@@ -1,0 +1,57 @@
+"""Built-in mesh generators mirroring the Firedrake utility meshes used by
+the reference demos (``firedrake.utility_meshes.RectangleMesh`` etc.).
+
+Boundary marker convention matches Firedrake's RectangleMesh:
+1: x = 0 (left), 2: x = Lx (right), 3: y = 0 (bottom), 4: y = Ly (top).
+"""
+import numpy as np
+
+from .mesh2d import Mesh2d
+
+__all__ = ["RectangleMesh", "UnitSquareMesh", "SquareMesh"]
+
+
+def RectangleMesh(nx, ny, lx, ly, originX=0.0, originY=0.0, name="rectangle"):
+    """Structured triangulated rectangle: nx*ny quads, each split into 2
+    triangles (diagonal from lower-left to upper-right, like Firedrake's
+    default 'crossed=False' left diagonal)."""
+    x = np.linspace(originX, originX + lx, nx + 1)
+    y = np.linspace(originY, originY + ly, ny + 1)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    i = i.ravel()
+    j = j.ravel()
+    v00 = vid(i, j)
+    v10 = vid(i + 1, j)
+    v01 = vid(i, j + 1)
+    v11 = vid(i + 1, j + 1)
+    # split along the v00-v11 diagonal
+    tri1 = np.stack([v00, v10, v11], axis=1)
+    tri2 = np.stack([v00, v11, v01], axis=1)
+    cells = np.concatenate([tri1, tri2], axis=0)
+
+    eps_x = lx * 1e-10 + 1e-300
+    eps_y = ly * 1e-10 + 1e-300
+
+    def markers(mid):
+        m = np.zeros(len(mid), dtype=np.int32)
+        m[np.abs(mid[:, 0] - originX) < eps_x] = 1
+        m[np.abs(mid[:, 0] - (originX + lx)) < eps_x] = 2
+        m[np.abs(mid[:, 1] - originY) < eps_y] = 3
+        m[np.abs(mid[:, 1] - (originY + ly)) < eps_y] = 4
+        return m
+
+    return Mesh2d(coords, cells, boundary_markers=markers, name=name)
+
+
+def SquareMesh(nx, ny, l, name="square"):
+    return RectangleMesh(nx, ny, l, l, name=name)
+
+
+def UnitSquareMesh(nx, ny, name="unitsquare"):
+    return RectangleMesh(nx, ny, 1.0, 1.0, name=name)
