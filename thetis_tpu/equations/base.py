@@ -19,7 +19,8 @@ so time-dependent forcing works under jit.
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["Bucket", "EquationBase", "SUPPORTED_LABELS", "facet_quad_value"]
+__all__ = ["Bucket", "EquationBase", "SUPPORTED_LABELS", "facet_quad_value",
+           "facet_quad_value_2s"]
 
 SUPPORTED_LABELS = frozenset(["source", "explicit", "implicit", "nonlinear"])
 
@@ -65,6 +66,20 @@ def facet_quad_value(asm, val, vector=False):
     if val.shape[:2] == (mesh.nf, nqf):
         return val
     raise ValueError(f"cannot map BC value of shape {val.shape} to facets")
+
+
+def facet_quad_value_2s(asm, val, vector=False):
+    """Both-side facet traces (nf, 2, nqf[, k]).  Sides are identical unless
+    ``val`` is a DG dof array."""
+    mesh = asm.mesh
+    if (
+        not np.isscalar(val)
+        and hasattr(val, "shape")
+        and val.shape[:2] == (mesh.nc, asm.ndofs)
+    ):
+        return asm.facet_traces(jnp.asarray(val))
+    tr0 = facet_quad_value(asm, val, vector=vector)
+    return jnp.stack([tr0, tr0], axis=1)
 
 
 class EquationBase:

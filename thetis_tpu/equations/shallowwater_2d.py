@@ -33,7 +33,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import physical_constants
-from .base import Bucket, EquationBase, facet_quad_value
+from .base import Bucket, EquationBase, facet_quad_value, facet_quad_value_2s
 
 __all__ = ["ShallowWaterEquations", "DepthExpression", "swe_state"]
 
@@ -116,12 +116,7 @@ class ShallowWaterEquations(EquationBase):
         self.bathy_q = self._any_cell_q(bathymetry)
         self.bathy_grad_q = self._any_cell_grad(bathymetry)
         # both-side traces (nf, 2, nqf); identical sides unless bathymetry is DG
-        b = jnp.asarray(bathymetry) if not np.isscalar(bathymetry) else None
-        if b is not None and b.shape[:2] == (self.mesh.nc, asm.ndofs):
-            self.bathy_tr = asm.facet_traces(b)
-        else:
-            tr0 = facet_quad_value(asm, bathymetry)
-            self.bathy_tr = jnp.stack([tr0, tr0], axis=1)
+        self.bathy_tr = facet_quad_value_2s(asm, bathymetry)
 
     def _any_cell_q(self, val, vector=False):
         """Evaluate scalar/CG1/DG coefficient at cell quad points."""
@@ -367,7 +362,7 @@ class ShallowWaterEquations(EquationBase):
         asm = self.asm
         n = c["n"]
         nu_q = self._any_cell_q(nu_f)
-        nu_tr = facet_quad_value(asm, nu_f)
+        nu_tr = facet_quad_value_2s(asm, nu_f)
         uv_grad = asm.cell_grads(c["_uv_dofs"])  # (nc,nq,2,2): [k,i]=du_k/dx_i
         if self.options.use_grad_div_viscosity_term:
             sym = uv_grad + jnp.swapaxes(uv_grad, -1, -2)
