@@ -5,17 +5,11 @@ ocean model (thetisproject/thetis) designed for TPU hardware: matrix-free DG
 residual evaluation over static unstructured-mesh tables, jitted lax.scan
 time loops, matrix-free Newton-Krylov implicit solves, shard_map mesh
 partitioning with halo exchange over ICI, and jax.grad adjoints.
+
+``from thetis_tpu import *`` provides the thetis-style user namespace (see
+``api.py``) so reference demo scripts translate almost verbatim.
 """
-from .config import physical_constants, float_dtype
-from .mesh.mesh2d import Mesh2d
-from .mesh.generation import RectangleMesh, UnitSquareMesh, SquareMesh
-from .fem.functionspace import (
-    FunctionSpace,
-    VectorFunctionSpace,
-    Function,
-    SpatialCoordinate,
-    get_functionspace,
-)
-from .fem.assembly import DGAssembler
+from .api import *  # noqa: F401,F403
+from .api import __all__  # noqa: F401
 
 __version__ = "0.1.0"

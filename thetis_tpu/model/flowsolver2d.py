@@ -1,0 +1,549 @@
+"""FlowSolver2d — the user-facing 2D model object.
+
+Mirrors the reference's ``thetis/solver2d.py`` lifecycle and API:
+``__init__(mesh2d, bathymetry_2d)`` -> set ``.options`` ->
+``assign_initial_conditions`` -> ``iterate(update_forcings, export_func)``,
+with ``create_function_spaces/fields/equations/timestepper/exporters``
+stages, ``bnd_functions`` weak-BC dicts, conservation/overshoot callbacks
+and HDF5 checkpoint/restart (``load_state``).
+
+TPU-native internals: the coupled advance (SWE -> tracer systems -> limiter,
+ref ``coupled_timeintegrator_2d.py:93-113``) is a single jitted function of
+``(t, state, field values, BC values)``; when no per-step python callback is
+registered the export interval runs as one ``lax.scan``.
+"""
+import time as time_mod
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import physical_constants
+from ..fem.assembly import DGAssembler
+from ..fem.functionspace import FunctionSpace, Function
+from ..equations.shallowwater_2d import ShallowWaterEquations, swe_state
+from ..equations.tracer_2d import TracerEquation2D
+from ..equations.limiter import VertexBasedP1DGLimiter
+from ..timeintegration.steppers import get_stepper
+from ..solvers.newton import NewtonParameters
+from ..utils.constant import Constant
+from ..utils.log import print_output
+from .options import ModelOptions2d
+from .field_defs import FieldDict, field_metadata
+from .callback import (
+    CallbackManager,
+    VolumeConservation2DCallback,
+    TracerMassConservation2DCallback,
+    TracerOvershootCallBack,
+)
+from .exporter import ExportManager
+
+__all__ = ["FlowSolver2d"]
+
+
+def _value(v):
+    """Current array value of a Constant / Function / array / scalar."""
+    if v is None:
+        return None
+    if isinstance(v, Constant):
+        return v.value
+    if isinstance(v, Function):
+        return v.data
+    if callable(v):
+        raise TypeError("callable coefficients must be wrapped in Function")
+    return jnp.asarray(v)
+
+
+class FlowSolver2d:
+    """ref ``solver2d.py:28-1144``."""
+
+    def __init__(self, mesh2d, bathymetry_2d, options=None):
+        self._initialized = False
+        self.mesh2d = mesh2d
+        self.bathymetry_dof = (
+            bathymetry_2d.data if isinstance(bathymetry_2d, Function)
+            else jnp.asarray(bathymetry_2d)
+        )
+        self._bathymetry_input = bathymetry_2d
+        self.options = ModelOptions2d()
+        if options is not None:
+            self.options.update(options)
+        self.dt = None
+        self.simulation_time = 0.0
+        self.iteration = 0
+        self.i_export = 0
+        self.next_export_t = 0.0
+        self.callbacks = CallbackManager()
+        self.bnd_functions = {"shallow_water": {}, "tracer": {}, "sediment": {}}
+        self._isfrozen = False
+        self._functions_created = False
+        self._equations_created = False
+        self._timestepper_created = False
+        self._exporters_created = False
+        self._initial_export_done = False
+        self.export_initial_state = True
+
+    # ------------------------------------------------------------------
+    def create_function_spaces(self):
+        """ref ``solver2d.py:307-352``; dg-dg family only (others pending)."""
+        mesh = self.mesh2d
+        assert self.options.element_family == "dg-dg", (
+            "only the dg-dg element family is implemented so far"
+        )
+        p = self.options.polynomial_degree
+        self.function_spaces = type("FS", (), {})()
+        fs = self.function_spaces
+        fs.P0_2d = FunctionSpace(mesh, "DG", 0)
+        fs.P1_2d = FunctionSpace(mesh, "CG", 1)
+        fs.P1DG_2d = FunctionSpace(mesh, "DG", 1)
+        fs.U_2d = FunctionSpace(mesh, "DG", p, dim=2)
+        fs.H_2d = FunctionSpace(mesh, "DG", p)
+        fs.Q_2d = FunctionSpace(mesh, "DG", 1)
+        self.asm = DGAssembler(mesh, fs.H_2d)
+        self._functions_created = False
+
+    def create_fields(self):
+        if not hasattr(self, "function_spaces"):
+            self.create_function_spaces()
+        fs = self.function_spaces
+        self.fields = FieldDict()
+        f = self.fields
+        f.bathymetry_2d = Function(fs.P1_2d, name="Bathymetry")
+        # accept CG1 / DG dof layouts
+        b = self.bathymetry_dof
+        if b.ndim == 0:
+            f.bathymetry_2d.data = jnp.full((self.mesh2d.nv,), float(b))
+        elif b.shape == (self.mesh2d.nv,):
+            f.bathymetry_2d.data = b
+        else:
+            f.bathymetry_2d = Function(fs.H_2d, name="Bathymetry", data=b)
+        f.elev_2d = Function(fs.H_2d, name="elev_2d")
+        f.uv_2d = Function(fs.U_2d, name="uv_2d")
+        self.tracer_labels = list(self.options.tracer.keys())
+        for label in self.tracer_labels:
+            if label not in field_metadata:
+                meta = self.options.tracer[label]
+                field_metadata[label] = dict(
+                    name=meta.name, shortname=meta.shortname, unit=meta.unit,
+                    filename=meta.filename,
+                )
+            f[label] = Function(fs.Q_2d, name=label)
+        self.solve_tracer = len(self.tracer_labels) > 0
+        self._functions_created = True
+
+    def create_equations(self):
+        if not self._functions_created:
+            self.create_fields()
+        o = self.options
+        bathy = self.fields.bathymetry_2d.data
+        self.eq_sw = ShallowWaterEquations(
+            self.mesh2d, self.asm, o, bathymetry=bathy,
+            bnd_conditions=self.bnd_functions["shallow_water"],
+        )
+        self.depth = self.eq_sw.depth
+        if self.solve_tracer:
+            bnd_tr = self.bnd_functions["tracer"]
+            self.eq_tracer = TracerEquation2D(
+                self.mesh2d, self.asm, o, bathymetry=bathy,
+                labels=self.tracer_labels, bnd_conditions=bnd_tr,
+                depth=self.depth,
+            )
+            if o.use_limiter_for_tracers:
+                self.tracer_limiter = VertexBasedP1DGLimiter(
+                    self.function_spaces.Q_2d
+                )
+            else:
+                self.tracer_limiter = None
+        self._equations_created = True
+
+    def create_timestepper(self):
+        """ref ``solver2d.py:651-702``."""
+        if not self._equations_created:
+            self.create_equations()
+        self.set_time_step()
+        o = self.options
+        sp = o.swe_timestepper_options
+        kw = {}
+        name = o.swe_timestepper_type
+        if name in ("CrankNicolson", "BackwardEuler", "DIRK22", "DIRK33"):
+            kw["semi_implicit"] = bool(
+                getattr(sp, "use_semi_implicit_linearization", False)
+            )
+            kw["solver_parameters"] = NewtonParameters()
+            if name == "CrankNicolson":
+                kw["theta"] = float(getattr(sp, "implicitness_theta", 0.5))
+        self.timestepper = get_stepper(name, self.eq_sw, self.dt, o, **kw)
+        if self.solve_tracer:
+            tname = o.tracer_timestepper_type
+            tkw = {}
+            if tname in ("CrankNicolson", "BackwardEuler", "DIRK22", "DIRK33"):
+                tkw["semi_implicit"] = bool(
+                    getattr(o.tracer_timestepper_options,
+                            "use_semi_implicit_linearization", False)
+                )
+                if tname == "CrankNicolson":
+                    tkw["theta"] = float(getattr(
+                        o.tracer_timestepper_options, "implicitness_theta", 0.5
+                    ))
+            self.tracer_stepper = get_stepper(
+                tname, self.eq_tracer, self.dt, o, **tkw
+            )
+        self._build_advance()
+        self._timestepper_created = True
+
+    def create_exporters(self):
+        """ref ``solver2d.py:704-730``."""
+        o = self.options
+        self.exporters = {}
+        if not o.no_exports:
+            self.exporters["vtk"] = ExportManager(
+                o.output_directory, o.fields_to_export, self.fields,
+                export_type="npz",
+            )
+            self.exporters["hdf5"] = ExportManager(
+                o.output_directory + "/hdf5",
+                o.fields_to_export_hdf5 or ["elev_2d", "uv_2d"],
+                self.fields, export_type="hdf5",
+            )
+        self._exporters_created = True
+
+    def initialize(self):
+        if not self._functions_created:
+            self.create_fields()
+        if not self._equations_created:
+            self.create_equations()
+        if not self._timestepper_created:
+            self.create_timestepper()
+        if not self._exporters_created:
+            self.create_exporters()
+        self._initialized = True
+
+    # ------------------------------------------------------------------
+    def compute_time_step(self, u_scale=0.0):
+        """Max explicit dt from CFL: dt = dx / (sqrt(g H) + U)
+        (ref ``solver2d.py:149-176``)."""
+        g = physical_constants["g_grav"]
+        mesh = self.mesh2d
+        b = np.asarray(self.fields.bathymetry_2d.data)
+        if b.shape[:1] == (mesh.nv,):
+            H_cell = b[mesh.cells_np].mean(axis=1)
+        elif b.ndim >= 2:
+            H_cell = b.mean(axis=1)
+        else:
+            H_cell = np.full(mesh.nc, float(b))
+        H_cell = np.maximum(H_cell, 0.05)
+        u = np.sqrt(g * H_cell) + float(u_scale)
+        return mesh.cell_hmin_np / u
+
+    def set_time_step(self, alpha=0.05):
+        """ref ``solver2d.py:215-248``."""
+        o = self.options
+        automatic = getattr(o.swe_timestepper_options, "use_automatic_timestep",
+                            False)
+        if automatic:
+            dts = self.compute_time_step(u_scale=float(o.horizontal_velocity_scale))
+            self.dt = float(o.cfl_2d * alpha * dts.min())
+        else:
+            assert o.timestep is not None and o.timestep > 0
+            self.dt = float(o.timestep)
+        print_output(f"dt = {self.dt}")
+
+    # ------------------------------------------------------------------
+    def _gather_swe_fields(self):
+        o = self.options
+        f = {}
+        pairs = [
+            ("coriolis_frequency", "coriolis"),
+            ("horizontal_viscosity", "viscosity_h"),
+            ("wind_stress", "wind_stress"),
+            ("atmospheric_pressure", "atmospheric_pressure"),
+            ("quadratic_drag_coefficient", "quadratic_drag_coefficient"),
+            ("manning_drag_coefficient", "manning_drag_coefficient"),
+            ("nikuradse_bed_roughness", "nikuradse_bed_roughness"),
+            ("linear_drag_coefficient", "linear_drag_coefficient"),
+            ("momentum_source_2d", "momentum_source"),
+            ("volume_source_2d", "volume_source"),
+        ]
+        for opt_key, eq_key in pairs:
+            v = getattr(o, opt_key)
+            if v is not None:
+                f[eq_key] = _value(v)
+        f["lax_friedrichs_velocity_scaling_factor"] = _value(
+            o.lax_friedrichs_velocity_scaling_factor
+        )
+        return f
+
+    def _gather_tracer_fields(self, state):
+        o = self.options
+        f = {
+            "uv_2d": state["uv"],
+            "elev_2d": state["elev"],
+            "lax_friedrichs_tracer_scaling_factor": _value(
+                o.lax_friedrichs_tracer_scaling_factor
+            ),
+            "tracer_advective_velocity_factor": _value(
+                o.tracer_advective_velocity_factor
+            ),
+        }
+        for label, topt in o.tracer.items():
+            if topt.diffusivity is not None:
+                f[f"diffusivity_h-{label}"] = _value(topt.diffusivity)
+            elif o.horizontal_diffusivity is not None:
+                f[f"diffusivity_h-{label}"] = _value(o.horizontal_diffusivity)
+            if topt.source is not None:
+                f[f"source-{label}"] = _value(topt.source)
+        return f
+
+    def _gather_bnd(self, which):
+        out = {}
+        for marker, spec in self.bnd_functions[which].items():
+            out[int(marker)] = {k: _value(v) for k, v in spec.items()}
+        return out
+
+    # ------------------------------------------------------------------
+    def _build_advance(self):
+        """Construct the jitted coupled advance function."""
+        solve_tracer = self.solve_tracer
+        swe_stepper = self.timestepper
+        tracer_stepper = getattr(self, "tracer_stepper", None)
+        limiter = getattr(self, "tracer_limiter", None)
+        labels = self.tracer_labels
+        tracer_only = self.options.tracer_only
+
+        def gather_tracer_fields_traced(state, extra):
+            f = dict(extra)
+            f["uv_2d"] = state["uv"]
+            f["elev_2d"] = state["elev"]
+            return f
+
+        def advance(t, state, swe_fields, tracer_extra, bnd_sw, bnd_tr):
+            sw = {"uv": state["uv"], "elev": state["elev"]}
+            if not tracer_only:
+                sw = swe_stepper.advance(t, sw, swe_fields, swe_fields, bnd_sw)
+            new_state = dict(state)
+            new_state["uv"] = sw["uv"]
+            new_state["elev"] = sw["elev"]
+            if solve_tracer:
+                tf = gather_tracer_fields_traced(new_state, tracer_extra)
+                tr = {l: state[l] for l in labels}
+                tr = tracer_stepper.advance(t, tr, tf, tf, bnd_tr)
+                for l in labels:
+                    cl = tr[l]
+                    if limiter is not None:
+                        cl = limiter.apply(cl)
+                    new_state[l] = cl
+            return new_state
+
+        self._advance = advance
+        self._advance_jit = jax.jit(advance)
+
+        def advance_n(state, t0, dt, n, swe_fields, tracer_extra, bnd_sw, bnd_tr):
+            def body(carry, i):
+                s, t = carry
+                s = advance(t, s, swe_fields, tracer_extra, bnd_sw, bnd_tr)
+                return (s, t + dt), None
+
+            (s, _), _ = jax.lax.scan(body, (state, t0), jnp.arange(n))
+            return s
+
+        self._advance_n_jit = jax.jit(advance_n, static_argnames=("n",))
+
+    def _get_state(self):
+        s = {"uv": self.fields.uv_2d.data, "elev": self.fields.elev_2d.data}
+        for l in self.tracer_labels:
+            s[l] = self.fields[l].data
+        return s
+
+    def _set_state(self, s):
+        self.fields.uv_2d.data = s["uv"]
+        self.fields.elev_2d.data = s["elev"]
+        for l in self.tracer_labels:
+            self.fields[l].data = s[l]
+
+    # ------------------------------------------------------------------
+    def assign_initial_conditions(self, elev=None, uv=None, **tracers):
+        """ref ``solver2d.py:747-783``."""
+        if not self._initialized:
+            self.initialize()
+        if elev is not None:
+            self.fields.elev_2d.data = self._interp_to(
+                self.function_spaces.H_2d, elev
+            )
+        if uv is not None:
+            self.fields.uv_2d.data = self._interp_to(
+                self.function_spaces.U_2d, uv
+            )
+        for label, value in tracers.items():
+            if label in self.tracer_labels:
+                self.fields[label].data = self._interp_to(
+                    self.function_spaces.Q_2d, value
+                )
+
+    def _interp_to(self, space, value):
+        if isinstance(value, Function):
+            src = value
+            if src.function_space is space:
+                return src.data
+            # interpolate between spaces on the same mesh via dof coords
+            if src.function_space.family == "CG" and space.family == "DG":
+                # gather CG values at DG nodes (vertex-collocated for P1)
+                cd = src.function_space.cell_dofs(src.data)
+                if space.dim > 1 and cd.ndim == 2:
+                    cd = jnp.stack([cd] * space.dim, axis=-1)
+                return cd
+            return jnp.broadcast_to(src.data, space.dof_shape())
+        if isinstance(value, Constant):
+            value = value.value
+        value = jnp.asarray(value)
+        if value.shape == space.dof_shape():
+            return value
+        return jnp.broadcast_to(value, space.dof_shape()).astype(
+            space.zero_dofs().dtype
+        )
+
+    # ------------------------------------------------------------------
+    def add_callback(self, callback, eval_interval="export"):
+        self.callbacks.add(callback, eval_interval)
+
+    def compute_volume_2d(self):
+        return float(self.asm.integrate(self.fields.elev_2d.data)) + (
+            float(self.asm.integrate_cellq(self.eq_sw.bathy_q))
+        )
+
+    def compute_tracer_mass(self, label):
+        eta_q = self.asm.cell_values(self.fields.elev_2d.data)
+        H_q = self.depth.total_depth(self.eq_sw.bathy_q, eta_q)
+        c_q = self.asm.cell_values(self.fields[label].data)
+        return float(self.asm.integrate_cellq(H_q * c_q))
+
+    def print_state(self, cputime, print_header=False):
+        """ref ``solver2d.py:923-971``."""
+        norm_eta = float(self.asm.norm_l2(self.fields.elev_2d.data))
+        norm_uv = float(self.asm.norm_l2(self.fields.uv_2d.data))
+        line = (
+            "{iexp:5d} {i:5d} T={t:10.2f} eta norm: {e:10.4f} "
+            "u norm: {u:10.4f} {cpu:5.2f}"
+        )
+        print_output(
+            line.format(
+                iexp=self.i_export, i=self.iteration,
+                t=self.simulation_time, e=norm_eta, u=norm_uv, cpu=cputime,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def export(self):
+        self.callbacks.evaluate(mode="export")
+        for e in self.exporters.values():
+            e.export(time=self.simulation_time)
+
+    def load_state(self, i_export, outputdir=None, t=None, iteration=None):
+        """Restart from HDF5 checkpoints (ref ``solver2d.py:820-921``)."""
+        if not self._initialized:
+            self.initialize()
+        outputdir = outputdir or self.options.output_directory
+        from .exporter import HDF5Exporter
+
+        for key in ("elev_2d", "uv_2d"):
+            meta = field_metadata[key]
+            e = HDF5Exporter(
+                self.fields[key].function_space, outputdir + "/hdf5",
+                meta["filename"],
+            )
+            tload = e.load(i_export, self.fields[key])
+        self.i_export = i_export
+        self.simulation_time = (
+            t if t is not None
+            else (tload if tload is not None
+                  else i_export * self.options.simulation_export_time)
+        )
+        self.iteration = (
+            iteration if iteration is not None
+            else int(np.ceil(self.simulation_time / self.dt))
+        )
+        self.next_export_t = self.simulation_time + self.options.simulation_export_time
+        self.i_export += 1
+        for e in self.exporters.values():
+            e.set_next_export_ix(self.i_export)
+
+    # ------------------------------------------------------------------
+    def iterate(self, update_forcings=None, export_func=None):
+        """Main time loop (ref ``solver2d.py:974-1144``)."""
+        if not self._initialized:
+            self.initialize()
+        o = self.options
+
+        # auto-attach conservation/overshoot callbacks (ref L1040-1085)
+        if o.check_volume_conservation_2d:
+            self.add_callback(VolumeConservation2DCallback(self))
+        if o.check_tracer_conservation:
+            for label in self.tracer_labels:
+                self.add_callback(
+                    TracerMassConservation2DCallback(label, self)
+                )
+        if o.check_tracer_overshoot:
+            for label in self.tracer_labels:
+                self.add_callback(TracerOvershootCallBack(label, self))
+
+        t_epsilon = 1e-5
+        self.next_export_t = self.simulation_time + o.simulation_export_time
+        state = self._get_state()
+
+        if not self._initial_export_done:
+            self.print_state(0.0)
+            if not o.no_exports:
+                self.export()
+            self._initial_export_done = True
+
+        has_timestep_callbacks = len(self.callbacks.get("timestep", {})) > 0
+        use_scan = update_forcings is None and not has_timestep_callbacks
+        cpu_t0 = time_mod.perf_counter()
+
+        while self.simulation_time <= o.simulation_end_time - t_epsilon:
+            swe_fields = self._gather_swe_fields()
+            tracer_extra = (
+                self._gather_tracer_fields(state) if self.solve_tracer else {}
+            )
+            for k in ("uv_2d", "elev_2d"):
+                tracer_extra.pop(k, None)
+            bnd_sw = self._gather_bnd("shallow_water")
+            bnd_tr = self._gather_bnd("tracer")
+
+            if use_scan:
+                t_target = min(self.next_export_t, o.simulation_end_time)
+                n = max(
+                    1, int(round((t_target - self.simulation_time) / self.dt))
+                )
+                state = self._advance_n_jit(
+                    state, self.simulation_time, self.dt, n, swe_fields,
+                    tracer_extra, bnd_sw, bnd_tr,
+                )
+                self.iteration += n
+                self.simulation_time += n * self.dt
+            else:
+                if update_forcings is not None:
+                    update_forcings(self.simulation_time + self.dt)
+                    swe_fields = self._gather_swe_fields()
+                    bnd_sw = self._gather_bnd("shallow_water")
+                    bnd_tr = self._gather_bnd("tracer")
+                state = self._advance_jit(
+                    self.simulation_time, state, swe_fields, tracer_extra,
+                    bnd_sw, bnd_tr,
+                )
+                self.iteration += 1
+                self.simulation_time += self.dt
+                self._set_state(state)
+                self.callbacks.evaluate(mode="timestep")
+
+            if self.simulation_time >= self.next_export_t - t_epsilon:
+                self._set_state(state)
+                self.i_export += 1
+                self.next_export_t += o.simulation_export_time
+                cpu = time_mod.perf_counter() - cpu_t0
+                cpu_t0 = time_mod.perf_counter()
+                self.print_state(cpu)
+                if not o.no_exports:
+                    self.export()
+                if export_func is not None:
+                    export_func()
+        self._set_state(state)
