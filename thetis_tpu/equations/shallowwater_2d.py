@@ -44,25 +44,31 @@ def swe_state(uv, elev):
 
 class DepthExpression:
     """Total-depth expression incl. wetting-and-drying displacement
-    (ref ``thetis/utility.py:936-995``, Karna et al. 2011)."""
+    (ref ``thetis/utility.py:936-995``, Karna et al. 2011).
 
-    def __init__(self, bathymetry_q, use_nonlinear_equations=True,
+    ``alpha`` may be a scalar or an array evaluated at the same points as
+    ``bathy``/``eta`` (spatially-varying automatic alpha,
+    ref ``solver2d.py:251-303``); when omitted the default scalar is used.
+    """
+
+    def __init__(self, bathymetry_q=None, use_nonlinear_equations=True,
                  use_wetting_and_drying=False, wetting_and_drying_alpha=0.5):
-        self.bathymetry_q = bathymetry_q  # callable tag -> array, see SWE ctx
+        self.bathymetry_q = bathymetry_q
         self.use_nonlinear_equations = use_nonlinear_equations
         self.use_wetting_and_drying = use_wetting_and_drying
         self.alpha = wetting_and_drying_alpha
 
-    def wd_displacement(self, bathy, eta):
+    def wd_displacement(self, bathy, eta, alpha=None):
         if not self.use_wetting_and_drying:
             return jnp.zeros_like(eta)
+        a = self.alpha if alpha is None else alpha
         h = bathy + eta
-        return 0.5 * (jnp.sqrt(h**2 + self.alpha**2) - h)
+        return 0.5 * (jnp.sqrt(h**2 + a**2) - h)
 
-    def total_depth(self, bathy, eta):
+    def total_depth(self, bathy, eta, alpha=None):
         if not self.use_nonlinear_equations:
             return bathy * jnp.ones_like(eta)
-        return bathy + eta + self.wd_displacement(bathy, eta)
+        return bathy + eta + self.wd_displacement(bathy, eta, alpha)
 
 
 class ShallowWaterEquations(EquationBase):
@@ -78,11 +84,15 @@ class ShallowWaterEquations(EquationBase):
         self.options = options
         self.tidal_farms = tidal_farms or []
         o = options
+        a0 = getattr(o, "wetting_and_drying_alpha", 0.5)
         self.depth = DepthExpression(
             None,
             use_nonlinear_equations=o.use_nonlinear_equations,
             use_wetting_and_drying=o.use_wetting_and_drying,
-            wetting_and_drying_alpha=float(getattr(o, "wetting_and_drying_alpha", 0.5)),
+            wetting_and_drying_alpha=(
+                float(a0) if np.isscalar(a0) or getattr(a0, "ndim", 1) == 0
+                else 0.5
+            ),
         )
         self.g = physical_constants["g_grav"]
         self.rho0 = physical_constants["rho0"]
@@ -117,6 +127,20 @@ class ShallowWaterEquations(EquationBase):
         self.bathy_grad_q = self._any_cell_grad(bathymetry)
         # both-side traces (nf, 2, nqf); identical sides unless bathymetry is DG
         self.bathy_tr = facet_quad_value_2s(asm, bathymetry)
+        # wetting-drying alpha evaluated at the same sites (may be a field)
+        a = getattr(self.options, "wetting_and_drying_alpha", 0.5)
+        if hasattr(a, "data"):
+            a = a.data
+        if np.isscalar(a) or getattr(a, "ndim", 0) == 0:
+            self.alpha_q = float(a)
+            self.alpha_tr = float(a)
+        else:
+            self.alpha_q = self._any_cell_q(a)
+            self.alpha_tr = facet_quad_value_2s(asm, a)
+
+    def _alpha_tr0(self):
+        a = self.alpha_tr
+        return a if np.isscalar(a) else a[:, 0]
 
     def _any_cell_q(self, val, vector=False):
         """Evaluate scalar/CG1/DG coefficient at cell quad points."""
@@ -183,7 +207,7 @@ class ShallowWaterEquations(EquationBase):
             elif "flux" in keys:
                 # 'flux': area from external elevation if given, else the
                 # internal one (ref L249-253 vs L263-267)
-                h_ext = self.depth.total_depth(self.bathy_tr[:, 0], e_m)
+                h_ext = self.depth.total_depth(self.bathy_tr[:, 0], e_m, self._alpha_tr0())
                 area = h_ext * self.mesh.boundary_len.get(m, 1.0)
                 u_m = (facet_quad_value(asm, vals["flux"]) / area)[..., None] * nf_n
             else:
@@ -203,12 +227,12 @@ class ShallowWaterEquations(EquationBase):
         c["eta_q"] = asm.cell_values(eta)
         c["uv_old_q"] = asm.cell_values(uv_old)
         c["eta_old_q"] = asm.cell_values(eta_old)
-        c["H_q"] = self.depth.total_depth(self.bathy_q, c["eta_old_q"])
+        c["H_q"] = self.depth.total_depth(self.bathy_q, c["eta_old_q"], self.alpha_q)
         c["uv_tr"] = asm.facet_traces(uv)
         c["eta_tr"] = asm.facet_traces(eta)
         c["uv_old_tr"] = asm.facet_traces(uv_old)
         c["eta_old_tr"] = asm.facet_traces(eta_old)
-        c["H_tr"] = self.depth.total_depth(self.bathy_tr, c["eta_old_tr"])
+        c["H_tr"] = self.depth.total_depth(self.bathy_tr, c["eta_old_tr"], self.alpha_tr)
         nfn = self.mesh.facet_normal  # (nf,2)
         c["n"] = nfn[:, None, :]  # (nf,1,2) broadcastable over quad axis
 
@@ -286,7 +310,7 @@ class ShallowWaterEquations(EquationBase):
         eta_b, uv_b = c["eta_tr"][:, 0], c["uv_tr"][:, 0]
         eta_old_b, uv_old_b = c["eta_old_tr"][:, 0], c["uv_old_tr"][:, 0]
         H_b = c["H_tr"][:, 0]
-        H_ext_old = self.depth.total_depth(self.bathy_tr[:, 0], c["eta_ext_old"])
+        H_ext_old = self.depth.total_depth(self.bathy_tr[:, 0], c["eta_ext_old"], self._alpha_tr0())
         h_av = 0.5 * (H_b + H_ext_old)
         h_av_safe = jnp.maximum(jnp.abs(h_av), 1e-12)
         un_rie = 0.5 * ((uv_b + c["uv_ext"]) * n).sum(-1) + jnp.sqrt(
@@ -296,7 +320,7 @@ class ShallowWaterEquations(EquationBase):
         eta_rie = 0.5 * (eta_old_b + c["eta_ext_old"]) + jnp.sqrt(
             h_av_safe / g
         ) * un_jump_old
-        h_rie = self.depth.total_depth(self.bathy_tr[:, 0], eta_rie)
+        h_rie = self.depth.total_depth(self.bathy_tr[:, 0], eta_rie, self._alpha_tr0())
         contrib = -h_rie * un_rie * self._mask_q(self.mask_open)
         B["eta_facet"].add(jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1))
 
@@ -593,7 +617,7 @@ class ShallowWaterEquations(EquationBase):
         m_eta = asm.mass_apply(solution["elev"])
         if self.depth.use_wetting_and_drying:
             eta_q = asm.cell_values(solution["elev"])
-            disp = self.depth.wd_displacement(self.bathy_q, eta_q)
+            disp = self.depth.wd_displacement(self.bathy_q, eta_q, self.alpha_q)
             m_eta = m_eta + asm.cell_to_dofs(disp)
         return swe_state(m_uv, m_eta)
 

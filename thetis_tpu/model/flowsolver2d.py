@@ -131,10 +131,51 @@ class FlowSolver2d:
         self.solve_tracer = len(self.tracer_labels) > 0
         self._functions_created = True
 
+    def set_wetting_and_drying_alpha(self):
+        r"""Automatic wetting-drying alpha ~ |L_x grad(h)| capped to
+        [alpha_min, alpha_max] (ref ``solver2d.py:251-303``)."""
+        o = self.options
+        if not o.use_wetting_and_drying:
+            return
+        if o.use_automatic_wetting_and_drying_alpha:
+            mesh = self.mesh2d
+            b = np.asarray(self.fields.bathymetry_2d.data)
+            if b.shape[:1] != (mesh.nv,):
+                raise NotImplementedError("auto alpha needs CG1 bathymetry")
+            # per-cell P1 gradient of bathymetry
+            cells = mesh.cells_np
+            bv = b[cells]  # (nc, 3)
+            # grad = Jinv^T @ dphi^T b, dphi rows [-1,-1],[1,0],[0,1]
+            gref = np.stack([bv[:, 1] - bv[:, 0], bv[:, 2] - bv[:, 0]], axis=1)
+            grad = np.einsum("cj,cji->ci", gref, mesh.Jinv_np)
+            p = mesh.coords_np[cells]
+            widths = p.max(axis=1) - p.min(axis=1)  # (nc, 2) x/y extents
+            alpha_cell = (widths * np.abs(grad)).sum(axis=1)
+            if o.wetting_and_drying_alpha_max is not None:
+                alpha_cell = np.minimum(alpha_cell, float(o.wetting_and_drying_alpha_max))
+            if o.wetting_and_drying_alpha_min is not None:
+                alpha_cell = np.maximum(alpha_cell, float(o.wetting_and_drying_alpha_min))
+            # P1 vertex values: max over adjacent cells (noise-free interp)
+            alpha_v = np.zeros(mesh.nv)
+            np.maximum.at(alpha_v, cells.ravel(), np.repeat(alpha_cell, 3))
+            fn = Function(self.function_spaces.P1_2d, name="wd_alpha")
+            fn.data = jnp.asarray(alpha_v)
+            o.wetting_and_drying_alpha = fn
+            print_output(
+                "Using spatially varying wetting and drying parameter "
+                f"(min {alpha_v.min():.2f} max {alpha_v.max():.2f})"
+            )
+        else:
+            print_output(
+                "Using constant wetting and drying parameter "
+                f"(value {float(o.wetting_and_drying_alpha):.2f})"
+            )
+
     def create_equations(self):
         if not self._functions_created:
             self.create_fields()
         o = self.options
+        self.set_wetting_and_drying_alpha()
         bathy = self.fields.bathymetry_2d.data
         self.eq_sw = ShallowWaterEquations(
             self.mesh2d, self.asm, o, bathymetry=bathy,

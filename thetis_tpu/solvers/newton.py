@@ -55,10 +55,18 @@ def newton_solve(residual_fn, u0, precond=None, params=None):
     params = params or NewtonParameters()
 
     def linsolve(matvec, b):
+        # Left-precondition explicitly: solve (M A) x = M b unpreconditioned.
+        # (jax.scipy gmres with M= mixes unpreconditioned atol with
+        # preconditioned residual norms; when M rescales by ~detJ that stops
+        # the iteration immediately.)
+        if precond is not None:
+            pa = lambda v: precond(matvec(v))  # noqa: E731
+            pb = precond(b)
+        else:
+            pa, pb = matvec, b
         x, _ = gmres(
-            matvec,
-            b,
-            M=precond,
+            pa,
+            pb,
             tol=params.ksp_rtol,
             atol=0.0,
             restart=params.gmres_restart,
@@ -101,9 +109,15 @@ def newton_solve(residual_fn, u0, precond=None, params=None):
 
 
 def linear_solve(matvec, b, precond=None, rtol=1e-7, restart=16, maxiter=3):
-    """Preconditioned GMRES convenience wrapper (PETSc KSP analogue)."""
+    """Preconditioned GMRES convenience wrapper (PETSc KSP analogue).
+    Left-preconditions explicitly (see note in newton_solve)."""
+    if precond is not None:
+        pa = lambda v: precond(matvec(v))  # noqa: E731
+        pb = precond(b)
+    else:
+        pa, pb = matvec, b
     x, _ = gmres(
-        matvec, b, M=precond, tol=rtol, atol=0.0, restart=restart,
+        pa, pb, tol=rtol, atol=0.0, restart=restart,
         maxiter=maxiter, solve_method="incremental",
     )
     return x

@@ -178,6 +178,60 @@ class DIRKGeneric(TimeIntegrator):
         )
 
 
+class DIRKUForm(TimeIntegrator):
+    """u-form DIRK for stiffly-accurate tableaux (b == last row of a):
+    each stage solves directly for the stage *solution*, so nonlinear mass
+    terms (wetting-and-drying bathymetry displacement) are handled exactly
+    (ref ``rungekutta.py:580-711`` DIRKGenericUForm, used for the 2D SWE
+    BackwardEuler/DIRK22/DIRK33 steppers, ``solver2d.py:666-668``)."""
+
+    def __init__(self, equation, dt, scheme="DIRK22", options=None,
+                 semi_implicit=False, solver_parameters=None):
+        super().__init__(equation, dt, options)
+        tb = SCHEMES[scheme]()
+        assert tb.is_dirk
+        assert np.allclose(tb.a[-1], tb.b), \
+            "u-form DIRK requires a stiffly accurate tableau"
+        self.a = tb.a
+        self.n_stages = tb.n_stages
+        self.cfl_coeff = tb.cfl_coeff
+        self.semi_implicit = semi_implicit
+        self.params = solver_parameters or NewtonParameters()
+        if semi_implicit:
+            self.params.snes_max_it = 1
+            self.params.snes_rtol = 1e-16
+
+    def advance(self, t, solution, fields, fields_old, bnd_values):
+        eq = self.equation
+        dt = self.dt
+        m_old = eq.mass_term(solution)
+        r_stages = []
+        u_i = solution
+        for i in range(self.n_stages):
+            aii = float(self.a[i][i])
+            known = _tree_lc(
+                [(-1.0, m_old)]
+                + [(-dt * float(self.a[i][j]), r_stages[j])
+                   for j in range(i) if self.a[i][j] != 0.0]
+            )
+
+            def F(u, known=known, aii=aii):
+                u_nl = solution if self.semi_implicit else u
+                r = eq.residual("all", u, u_nl, fields, fields, bnd_values)
+                return _tree_lc(
+                    [(1.0, eq.mass_term(u)), (-dt * aii, r), (1.0, known)]
+                )
+
+            u_i = newton_solve(F, u_i, precond=eq.mass_inverse,
+                               params=self.params)
+            if i < self.n_stages - 1:
+                u_nl = solution if self.semi_implicit else u_i
+                r_stages.append(
+                    eq.residual("all", u_i, u_nl, fields, fields, bnd_values)
+                )
+        return u_i
+
+
 class ERKGeneric(TimeIntegrator):
     """Generic explicit RK from a Butcher tableau
     (ref ``rungekutta.py:762-953``)."""
@@ -243,7 +297,10 @@ def get_stepper(name, equation, dt, options=None, **kw):
         return CrankNicolson(equation, dt, options, **kw)
     if name == "BackwardEuler":
         return BackwardEuler(equation, dt, options, **kw)
-    if name in ("DIRK22", "DIRK33", "DIRK43"):
+    if name in ("DIRK22", "DIRK33"):
+        # u-form: exact with nonlinear (wetting-drying) mass terms
+        return DIRKUForm(equation, dt, scheme=name, options=options, **kw)
+    if name == "DIRK43":
         return DIRKGeneric(equation, dt, scheme=name, options=options, **kw)
     if name == "SteadyState":
         return SteadyState(equation, dt, options, **kw)
