@@ -401,7 +401,7 @@ class ShallowWaterEquations(EquationBase):
         sipg = float(self.options.sipg_factor)
         ln = self.mesh.facet_l_normal  # (nf,2)
         sigma = sipg * self.cp / ln
-        sigma_max = jnp.maximum(sigma[:, 0], sigma[:, 1])[:, None]
+        sigma_max = jnp.maximum(sigma[:, 0], sigma[:, 1])[:, None, None]
 
         uv0, uv1 = c["uv_tr"][:, 0], c["uv_tr"][:, 1]
         nu_avg = 0.5 * (nu_tr[:, 0] + nu_tr[:, 1])
@@ -439,7 +439,7 @@ class ShallowWaterEquations(EquationBase):
         uv_b = c["uv_tr"][:, 0]
         stress_b = stress_tr[:, 0]
         nu_b = nu_tr[:, 0]
-        sigma_b = sigma[:, 0][:, None]
+        sigma_b = sigma[:, 0][:, None, None]
         for m in self.open_markers:
             keys = self.bnd_keys.get(m)
             if keys is None:
@@ -462,12 +462,12 @@ class ShallowWaterEquations(EquationBase):
                 SJb = nu_b[..., None, None] * delta_uv[..., :, None] * n[..., None, :]
             SJbn = (SJb * n[..., None, :]).sum(-1)
             stress_bn = (stress_b * n[..., None, :]).sum(-1)
-            contrib = (-sigma_b * SJbn + stress_bn) * mk1[:, None]
+            contrib = (-sigma_b * SJbn + stress_bn) * mk1
             B["uv_facet"].add(
                 jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1)
             )
             B["uv_fgrad"].add(
-                jnp.stack([SJb * mk2[:, None], jnp.zeros_like(SJb)], axis=1)
+                jnp.stack([SJb * mk2, jnp.zeros_like(SJb)], axis=1)
             )
 
         if self.options.use_grad_depth_viscosity_term:
@@ -554,9 +554,13 @@ class ShallowWaterEquations(EquationBase):
 
     def _t_turbine(self, c, B):
         """Tidal turbine drag c_t*density*|u|*u/H over farm areas
-        (ref L765-791)."""
-        for farm in self.tidal_farms:
-            density_q = farm.turbine_density_q  # (nc, nq)
+        (ref L765-791).  The density may be overridden through the fields
+        dict (key ``turbine_density_{i}``) so farm optimisation can
+        differentiate through it."""
+        for i, farm in enumerate(self.tidal_farms):
+            density_q = c["fields"].get(
+                f"turbine_density_{i}", farm.turbine_density_q
+            )
             unorm = jnp.sqrt((c["uv_old_q"] ** 2).sum(-1))
             c_t = farm.friction_coefficient_q(c["uv_old_q"], c["H_q"])
             B["uv_cell"].add(

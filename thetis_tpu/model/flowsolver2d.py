@@ -177,9 +177,33 @@ class FlowSolver2d:
         o = self.options
         self.set_wetting_and_drying_alpha()
         bathy = self.fields.bathymetry_2d.data
+        # tidal turbine farms (ref solver2d.py:462-485)
+        from .turbines import TidalTurbineFarm, DiscreteTidalTurbineFarm
+
+        self.tidal_farms = []
+        for subdomain, farm_opts in (o.tidal_turbine_farms or {}).items():
+            if not isinstance(farm_opts, (list, tuple)):
+                farm_opts = [farm_opts]
+            mask = self._subdomain_mask(subdomain)
+            for fo in farm_opts:
+                self.tidal_farms.append(
+                    TidalTurbineFarm(
+                        self.asm, _value(fo.turbine_density), fo,
+                        cell_mask=mask,
+                    )
+                )
+        for subdomain, farm_opts in (o.discrete_tidal_turbine_farms or {}).items():
+            if not isinstance(farm_opts, (list, tuple)):
+                farm_opts = [farm_opts]
+            mask = self._subdomain_mask(subdomain)
+            for fo in farm_opts:
+                self.tidal_farms.append(
+                    DiscreteTidalTurbineFarm(self.asm, fo, cell_mask=mask)
+                )
         self.eq_sw = ShallowWaterEquations(
             self.mesh2d, self.asm, o, bathymetry=bathy,
             bnd_conditions=self.bnd_functions["shallow_water"],
+            tidal_farms=self.tidal_farms,
         )
         self.depth = self.eq_sw.depth
         if self.solve_tracer:
@@ -210,10 +234,17 @@ class FlowSolver2d:
             kw["semi_implicit"] = bool(
                 getattr(sp, "use_semi_implicit_linearization", False)
             )
-            kw["solver_parameters"] = NewtonParameters()
+            spp = getattr(sp, "solver_parameters", None)
+            kw["solver_parameters"] = (
+                spp if isinstance(spp, NewtonParameters) else NewtonParameters()
+            )
             if name == "CrankNicolson":
                 kw["theta"] = float(getattr(sp, "implicitness_theta", 0.5))
         self.timestepper = get_stepper(name, self.eq_sw, self.dt, o, **kw)
+        if name == "SteadyState":
+            spp = getattr(sp, "solver_parameters", None)
+            if isinstance(spp, NewtonParameters):
+                kw["solver_parameters"] = spp
         if self.solve_tracer:
             tname = o.tracer_timestepper_type
             tkw = {}
@@ -402,6 +433,82 @@ class FlowSolver2d:
             self.fields[l].data = s[l]
 
     # ------------------------------------------------------------------
+    def differentiable_forward(self, controls, terminal_functional=None,
+                               step_functional=None, n_steps=None):
+        """Build a pure, differentiable forward model ``fn(*control_arrays)
+        -> scalar J`` for use with :mod:`thetis_tpu.adjoint` (the analogue
+        of a pyadjoint-taped ``iterate`` run, SURVEY.md section 3.5).
+
+        :arg controls: list of control names — any SWE coefficient option
+            ('quadratic_drag_coefficient', 'manning_drag_coefficient',
+            'linear_drag_coefficient', 'horizontal_viscosity',
+            'coriolis_frequency', 'wind_stress', 'momentum_source_2d', ...),
+            'turbine_density_{i}', 'initial_elev' or 'initial_uv'.
+        :arg terminal_functional: callable ``f(state) -> scalar`` on the
+            final state pytree
+        :arg step_functional: callable ``f(state, fields, t) -> scalar``
+            accumulated as ``sum_i f(...) * dt``
+        """
+        if not self._initialized:
+            self.initialize()
+        o = self.options
+        n = n_steps or int(round(o.simulation_end_time / self.dt))
+        state0 = {k: v for k, v in self._get_state().items()}
+        base_fields = self._gather_swe_fields()
+        tracer_extra = (
+            {k: v for k, v in self._gather_tracer_fields(state0).items()
+             if k not in ("uv_2d", "elev_2d")}
+            if self.solve_tracer else {}
+        )
+        bnd_sw = self._gather_bnd("shallow_water")
+        bnd_tr = self._gather_bnd("tracer")
+        name_map = {
+            "coriolis_frequency": "coriolis",
+            "horizontal_viscosity": "viscosity_h",
+            "wind_stress": "wind_stress",
+            "atmospheric_pressure": "atmospheric_pressure",
+            "quadratic_drag_coefficient": "quadratic_drag_coefficient",
+            "manning_drag_coefficient": "manning_drag_coefficient",
+            "nikuradse_bed_roughness": "nikuradse_bed_roughness",
+            "linear_drag_coefficient": "linear_drag_coefficient",
+            "momentum_source_2d": "momentum_source",
+            "volume_source_2d": "volume_source",
+        }
+        dt = self.dt
+        advance = self._advance
+
+        def forward(*vals):
+            fields = dict(base_fields)
+            st = dict(state0)
+            for name, v in zip(controls, vals):
+                if name == "initial_elev":
+                    st["elev"] = v
+                elif name == "initial_uv":
+                    st["uv"] = v
+                elif name.startswith("turbine_density"):
+                    fields[name] = self.eq_sw._any_cell_q(v)
+                else:
+                    fields[name_map[name]] = v
+
+            def body(carry, _):
+                s, t, acc = carry
+                s = advance(t, s, fields, tracer_extra, bnd_sw, bnd_tr)
+                if step_functional is not None:
+                    acc = acc + step_functional(s, fields, t) * dt
+                return (s, t + dt, acc), None
+
+            (s, _, acc), _ = jax.lax.scan(
+                body, (st, 0.0, jnp.asarray(0.0, dtype=st["elev"].dtype)),
+                None, length=n,
+            )
+            J = acc
+            if terminal_functional is not None:
+                J = J + terminal_functional(s)
+            return J
+
+        return forward
+
+    # ------------------------------------------------------------------
     def assign_initial_conditions(self, elev=None, uv=None, **tracers):
         """ref ``solver2d.py:747-783``."""
         if not self._initialized:
@@ -443,6 +550,19 @@ class FlowSolver2d:
         )
 
     # ------------------------------------------------------------------
+    def _subdomain_mask(self, subdomain):
+        """Cell mask for a subdomain id; 'everywhere' -> None.  Meshes may
+        carry per-cell region markers in ``mesh.cell_markers_np``."""
+        if subdomain in ("everywhere", None):
+            return None
+        markers = getattr(self.mesh2d, "cell_markers_np", None)
+        if markers is None:
+            raise ValueError(
+                f"mesh has no cell markers; cannot restrict to subdomain "
+                f"{subdomain}"
+            )
+        return (np.asarray(markers) == int(subdomain)).astype(float)
+
     def add_callback(self, callback, eval_interval="export"):
         self.callbacks.add(callback, eval_interval)
 

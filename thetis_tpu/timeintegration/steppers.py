@@ -270,7 +270,13 @@ class SteadyState(TimeIntegrator):
 
     def __init__(self, equation, dt, options=None, solver_parameters=None):
         super().__init__(equation, dt, options)
-        self.params = solver_parameters or NewtonParameters(snes_max_it=30)
+        # steady Jacobians are not mass-dominated; default to the exact
+        # (dense LU) linear solver with a line-searched Newton, mirroring
+        # the reference's 'lu'+'newtonls' defaults for SteadyState
+        self.params = solver_parameters or NewtonParameters(
+            snes_max_it=40, line_search=True, dense=True
+        )
+        self.params.line_search = True
 
     def advance(self, t, solution, fields, fields_old, bnd_values):
         eq = self.equation
