@@ -1,0 +1,124 @@
+"""Tidal-turbine farm tests: drag effect on the flow, power functional,
+discrete bump-density farms, and the farm-optimisation gradient
+(miniature of ``examples/tidalfarm/tidalfarm.py``; the reference asserts a
+Taylor rate > 1.95 there, ``tidalfarm.py:202``)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from thetis_tpu import (
+    RectangleMesh, FunctionSpace, Function, Constant, solver2d,
+    SpatialCoordinate,
+)
+from thetis_tpu.model.turbines import (
+    TidalTurbineFarmOptions,
+    DiscreteTidalTurbineFarmOptions,
+    TidalTurbineOptions,
+    TurbineFunctionalCallback,
+    turbine_density_from_coordinates,
+)
+from thetis_tpu.adjoint import Control, ReducedFunctional, taylor_test
+
+
+def farm_setup(density=0.01):
+    lx, ly = 1000.0, 400.0
+    mesh2d = RectangleMesh(20, 8, lx, ly)
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    bath = Function(P1).assign(40.0)
+    so = solver2d.FlowSolver2d(mesh2d, bath)
+    o = so.options
+    o.timestep = 10.0
+    o.simulation_export_time = 100.0
+    o.simulation_end_time = 100.0
+    o.no_exports = True
+    o.swe_timestepper_type = "CrankNicolson"
+    o.horizontal_viscosity = Constant(2.0)
+    o.quadratic_drag_coefficient = Constant(0.0025)
+    farm = TidalTurbineFarmOptions()
+    farm.turbine_options = TidalTurbineOptions(
+        diameter=18.0, thrust_coefficient=0.8
+    )
+    x, y = SpatialCoordinate(mesh2d)
+    farm.turbine_density = Function(P1).interpolate(
+        jnp.where(
+            (jnp.abs(x - lx / 2) < 150.0) & (jnp.abs(y - ly / 2) < 100.0),
+            density, 0.0,
+        )
+    )
+    o.tidal_turbine_farms = {"everywhere": [farm]}
+    so.bnd_functions["shallow_water"] = {
+        1: {"un": Constant(-1.5)},
+        2: {"elev": Constant(0.0)},
+    }
+    so.assign_initial_conditions(uv=jnp.asarray([1.5, 0.0]), elev=0.0)
+    return so
+
+
+def test_farm_drag_creates_head_difference():
+    """Turbine drag must set up a water-level drop across the farm."""
+    heads = []
+    for d in (0.0, 0.05):
+        so = farm_setup(density=d)
+        so.iterate()
+        e = so.fields.elev_2d.data
+        x = so.function_spaces.H_2d.dof_coords()[..., 0]
+        up = float(jnp.mean(jnp.where(x < 200, e, 0)))
+        dn = float(jnp.mean(jnp.where(x > 800, e, 0)))
+        heads.append(up - dn)
+    assert heads[1] > 10 * heads[0] > 0
+
+
+def test_power_callback():
+    so = farm_setup(density=0.02)
+    cb = TurbineFunctionalCallback(so, append_to_log=False)
+    so.add_callback(cb, "timestep")
+    so.iterate()
+    assert cb.average_power[0] > 0.0
+    assert cb.time_period == pytest.approx(100.0)
+    nt = so.tidal_farms[0].number_of_turbines()
+    # P1 interpolation of the indicator shrinks the support by ~ one cell
+    assert 0.0 < nt < 0.02 * 300 * 200
+    assert nt == pytest.approx(
+        float(so.asm.integrate_cellq(so.tidal_farms[0].turbine_density_q)),
+        rel=1e-12,
+    )
+
+
+def test_discrete_farm_density_integral():
+    lx, ly = 1000.0, 400.0
+    mesh2d = RectangleMesh(40, 16, lx, ly)
+    P1 = FunctionSpace(mesh2d, "DG", 1)
+    from thetis_tpu.fem.assembly import DGAssembler
+
+    asm = DGAssembler(mesh2d, P1)
+    coords = [[300.0, 200.0], [500.0, 200.0], [700.0, 200.0]]
+    density = turbine_density_from_coordinates(asm, coords, radius=9.0)
+    total = float(asm.integrate_cellq(density))
+    # integral of each unit bump = 1 turbine (coarse quadrature on a sharp
+    # bump -> loose tolerance)
+    assert total == pytest.approx(3.0, rel=0.25)
+
+
+def test_farm_power_gradient():
+    """Gradient of time-integrated farm power w.r.t. turbine density
+    (the tidalfarm optimisation functional)."""
+    so = farm_setup(density=0.01)
+    so.initialize()
+    asm = so.asm
+    farm = so.tidal_farms[0]
+
+    def power_step(state, fields, t):
+        uv_q = asm.cell_values(state["uv"])
+        eta_q = asm.cell_values(state["elev"])
+        H_q = so.depth.total_depth(so.eq_sw.bathy_q, eta_q)
+        p = farm.turbine.power(uv_q, H_q)
+        return asm.integrate_cellq(p * fields["turbine_density_0"])
+
+    forward = so.differentiable_forward(
+        ["turbine_density_0"], step_functional=power_step, n_steps=4
+    )
+    d0 = so.options.tidal_turbine_farms["everywhere"][0].turbine_density
+    rf = ReducedFunctional(forward, Control(d0), scale=-1e-6)
+    minconv = taylor_test(rf, d0.data, 0.01 * jnp.ones_like(d0.data), h0=0.04)
+    assert minconv > 1.90

@@ -23,7 +23,31 @@ Accumulator conventions (R = d(u)/dt weak residual, reference sign):
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["DGAssembler"]
+__all__ = ["DGAssembler", "coefficient_cell_q"]
+
+
+def coefficient_cell_q(asm, val, vector=False):
+    """Evaluate a coefficient at cell quadrature points: accepts python
+    scalars, 0-d arrays, CG1 vertex arrays (nv,), DG dof arrays (nc, nd),
+    P0 arrays (nc, 1) or ready (nc, nq) arrays (+ trailing component axis
+    for vectors)."""
+    mesh = asm.mesh
+    tail = (2,) if vector else ()
+    nq = len(asm.space._tab_np["qw"])
+    if val is None:
+        return None
+    if np.isscalar(val) or (hasattr(val, "ndim") and val.ndim == len(tail)):
+        return jnp.broadcast_to(jnp.asarray(val), (mesh.nc, nq) + tail)
+    val = jnp.asarray(val)
+    if val.shape[:1] == (mesh.nv,):
+        return asm.cell_values(val[mesh.cells])
+    if val.shape[:2] == (mesh.nc, asm.ndofs):
+        return asm.cell_values(val)
+    if val.shape[:2] == (mesh.nc, 1):  # P0
+        return jnp.broadcast_to(val[:, :1], (mesh.nc, nq) + tail)
+    if val.shape[:2] == (mesh.nc, nq):
+        return val
+    raise ValueError(f"cannot evaluate coefficient of shape {val.shape}")
 
 
 def _wexpand(w, acc, ndim_head):

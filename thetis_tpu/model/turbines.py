@@ -186,10 +186,9 @@ class TidalTurbineFarm:
         else:
             raise ValueError(f"unknown turbine_type {options.turbine_type}")
         self.break_even_wattage = options.break_even_wattage
-        density_q = jnp.asarray(turbine_density)
-        nq = len(asm.space._tab_np["qw"])
-        if density_q.ndim == 0:
-            density_q = jnp.broadcast_to(density_q, (asm.mesh.nc, nq))
+        from ..fem.assembly import coefficient_cell_q
+
+        density_q = coefficient_cell_q(asm, turbine_density)
         if cell_mask is not None:
             density_q = density_q * jnp.asarray(cell_mask)[:, None]
         self.turbine_density_q = density_q
