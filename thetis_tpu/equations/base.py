@@ -113,7 +113,7 @@ class EquationBase:
         mesh = self.mesh
         marker = mesh.facet_marker_np
         is_bnd = mesh.facet_is_boundary_np
-        open_keys = ("elev", "uv", "un", "flux", "value")
+        open_keys = ("elev", "uv", "un", "flux", "value", "equilibrium")
         self.open_markers = [
             m
             for m, keys in sorted(self.bnd_keys.items())

@@ -51,7 +51,7 @@ class VertexBasedP1DGLimiter:
         mesh = self.mesh
         nv = mesh.nv
         centroid = u.mean(axis=1)  # (nc,)
-        big = jnp.asarray(np.finfo(np.asarray(u).dtype).max, dtype=u.dtype)
+        big = jnp.asarray(jnp.finfo(u.dtype).max, dtype=u.dtype)
         qmax = jnp.full((nv,), -big).at[self.cells].max(
             centroid[:, None], mode="drop"
         )

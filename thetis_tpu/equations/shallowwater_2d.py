@@ -180,7 +180,7 @@ class ShallowWaterEquations(EquationBase):
         raise ValueError(f"cannot differentiate coefficient of shape {val.shape}")
 
     # ------------------------------------------------------------------
-    def _bnd_ext(self, eta_b, uv_b, bnd_values):
+    def _bnd_ext(self, eta_b, uv_b, bnd_values, bathy_tr0=None):
         """External (eta_ext, uv_ext) at boundary-facet quad points given
         in-values (eta_b, uv_b), per ref ``shallowwater_eq.py:232-272``.
 
@@ -207,7 +207,8 @@ class ShallowWaterEquations(EquationBase):
             elif "flux" in keys:
                 # 'flux': area from external elevation if given, else the
                 # internal one (ref L249-253 vs L263-267)
-                h_ext = self.depth.total_depth(self.bathy_tr[:, 0], e_m, self._alpha_tr0())
+                b0 = self.bathy_tr[:, 0] if bathy_tr0 is None else bathy_tr0
+                h_ext = self.depth.total_depth(b0, e_m, self._alpha_tr0())
                 area = h_ext * self.mesh.boundary_len.get(m, 1.0)
                 u_m = (facet_quad_value(asm, vals["flux"]) / area)[..., None] * nf_n
             else:
@@ -223,16 +224,29 @@ class ShallowWaterEquations(EquationBase):
         uv, eta = solution["uv"], solution["elev"]
         uv_old, eta_old = solution_old["uv"], solution_old["elev"]
         c = {}
+        # morphodynamics: a traced bathymetry may be passed through fields
+        # (Exner-updated bed); falls back to the static tabulations
+        bdyn = fields.get("bathymetry_2d")
+        if bdyn is not None:
+            from .base import facet_quad_value_2s
+
+            c["bathy_q"] = self._any_cell_q(bdyn)
+            c["bathy_grad_q"] = self._any_cell_grad(bdyn)
+            c["bathy_tr"] = facet_quad_value_2s(asm, bdyn)
+        else:
+            c["bathy_q"] = self.bathy_q
+            c["bathy_grad_q"] = self.bathy_grad_q
+            c["bathy_tr"] = self.bathy_tr
         c["uv_q"] = asm.cell_values(uv)
         c["eta_q"] = asm.cell_values(eta)
         c["uv_old_q"] = asm.cell_values(uv_old)
         c["eta_old_q"] = asm.cell_values(eta_old)
-        c["H_q"] = self.depth.total_depth(self.bathy_q, c["eta_old_q"], self.alpha_q)
+        c["H_q"] = self.depth.total_depth(c["bathy_q"], c["eta_old_q"], self.alpha_q)
         c["uv_tr"] = asm.facet_traces(uv)
         c["eta_tr"] = asm.facet_traces(eta)
         c["uv_old_tr"] = asm.facet_traces(uv_old)
         c["eta_old_tr"] = asm.facet_traces(eta_old)
-        c["H_tr"] = self.depth.total_depth(self.bathy_tr, c["eta_old_tr"], self.alpha_tr)
+        c["H_tr"] = self.depth.total_depth(c["bathy_tr"], c["eta_old_tr"], self.alpha_tr)
         nfn = self.mesh.facet_normal  # (nf,2)
         c["n"] = nfn[:, None, :]  # (nf,1,2) broadcastable over quad axis
 
@@ -241,9 +255,11 @@ class ShallowWaterEquations(EquationBase):
         uv_b = c["uv_tr"][:, 0]
         eta_old_b = c["eta_old_tr"][:, 0]
         uv_old_b = c["uv_old_tr"][:, 0]
-        c["eta_ext"], c["uv_ext"] = self._bnd_ext(eta_b, uv_b, bnd_values)
+        c["eta_ext"], c["uv_ext"] = self._bnd_ext(
+            eta_b, uv_b, bnd_values, c["bathy_tr"][:, 0]
+        )
         c["eta_ext_old"], c["uv_ext_old"] = self._bnd_ext(
-            eta_old_b, uv_old_b, bnd_values
+            eta_old_b, uv_old_b, bnd_values, c["bathy_tr"][:, 0]
         )
         c["fields"] = fields
         c["bnd_values"] = bnd_values
@@ -310,7 +326,7 @@ class ShallowWaterEquations(EquationBase):
         eta_b, uv_b = c["eta_tr"][:, 0], c["uv_tr"][:, 0]
         eta_old_b, uv_old_b = c["eta_old_tr"][:, 0], c["uv_old_tr"][:, 0]
         H_b = c["H_tr"][:, 0]
-        H_ext_old = self.depth.total_depth(self.bathy_tr[:, 0], c["eta_ext_old"], self._alpha_tr0())
+        H_ext_old = self.depth.total_depth(c["bathy_tr"][:, 0], c["eta_ext_old"], self._alpha_tr0())
         h_av = 0.5 * (H_b + H_ext_old)
         h_av_safe = jnp.maximum(jnp.abs(h_av), 1e-12)
         un_rie = 0.5 * ((uv_b + c["uv_ext"]) * n).sum(-1) + jnp.sqrt(
@@ -320,7 +336,7 @@ class ShallowWaterEquations(EquationBase):
         eta_rie = 0.5 * (eta_old_b + c["eta_ext_old"]) + jnp.sqrt(
             h_av_safe / g
         ) * un_jump_old
-        h_rie = self.depth.total_depth(self.bathy_tr[:, 0], eta_rie, self._alpha_tr0())
+        h_rie = self.depth.total_depth(c["bathy_tr"][:, 0], eta_rie, self._alpha_tr0())
         contrib = -h_rie * un_rie * self._mask_q(self.mask_open)
         B["eta_facet"].add(jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1))
 
@@ -471,7 +487,7 @@ class ShallowWaterEquations(EquationBase):
             )
 
         if self.options.use_grad_depth_viscosity_term:
-            grad_H = self.bathy_grad_q + asm.cell_grads(c["_eta_old_dofs"])
+            grad_H = c["bathy_grad_q"] + asm.cell_grads(c["_eta_old_dofs"])
             # + test . (grad(H)/H . stress)  (ref L613-614)
             B["uv_cell"].add(
                 (grad_H[..., :, None] * stress).sum(-2)

@@ -73,6 +73,9 @@ class TracerEquation2D(EquationBase):
         uv_ext = uv_b
         nf_n = self.mesh.facet_normal[:, None, :]
         corr = self._uv_corr(fields)
+        if hasattr(corr, "ndim") and corr.ndim >= 1:
+            # boundary trace of the factor, broadcastable over components
+            corr = facet_quad_value(asm, corr)[..., None]
         for m in self.open_markers:
             keys = self.bnd_keys.get(m)
             if keys is None:
@@ -86,7 +89,7 @@ class TracerEquation2D(EquationBase):
             if "uv" in keys:
                 u_m = corr * facet_quad_value(asm, vals["uv"], vector=True)
             elif "flux" in keys:
-                h_ext = self.depth.total_depth(self.bathy_tr0[:, 0], e_m)
+                h_ext = self.depth.total_depth(self.bathy_tr0, e_m)
                 area = h_ext * self.mesh.boundary_len.get(m, 1.0)
                 u_m = corr * (facet_quad_value(asm, vals["flux"]) / area)[
                     ..., None
@@ -121,10 +124,17 @@ class TracerEquation2D(EquationBase):
         uv_dofs = fields.get("uv_2d")
         corr = self._uv_corr(fields)
         if uv_dofs is not None:
-            c["uv_q"] = corr * asm.cell_values(uv_dofs)
+            # advective-velocity factor multiplies at dof level (a Function
+            # product in the reference, ref L154) so cell/facet evaluations
+            # stay consistent; accepts scalar or (nc, nd) dof arrays
+            if hasattr(corr, "ndim") and corr.ndim == 2:
+                uv_dofs = uv_dofs * corr[..., None]
+            else:
+                uv_dofs = uv_dofs * corr
+            c["uv_q"] = asm.cell_values(uv_dofs)
             uv_grad = asm.cell_grads(uv_dofs)
-            c["div_uv_q"] = corr * (uv_grad[..., 0, 0] + uv_grad[..., 1, 1])
-            c["uv_tr"] = corr * asm.facet_traces(uv_dofs)
+            c["div_uv_q"] = uv_grad[..., 0, 0] + uv_grad[..., 1, 1]
+            c["uv_tr"] = asm.facet_traces(uv_dofs)
         elev = fields.get("elev_2d")
         c["eta_tr0"] = (
             facet_quad_value(asm, elev)

@@ -129,6 +129,11 @@ class FlowSolver2d:
                 )
             f[label] = Function(fs.Q_2d, name=label)
         self.solve_tracer = len(self.tracer_labels) > 0
+        so = self.options.sediment_model_options
+        self.solve_sediment = bool(so and so.solve_suspended_sediment)
+        self.solve_exner = bool(so and so.use_exner)
+        if self.solve_sediment:
+            f.sediment_2d = Function(fs.Q_2d, name="sediment_2d")
         self._functions_created = True
 
     def set_wetting_and_drying_alpha(self):
@@ -213,12 +218,39 @@ class FlowSolver2d:
                 labels=self.tracer_labels, bnd_conditions=bnd_tr,
                 depth=self.depth,
             )
+        if self.solve_tracer or self.solve_sediment:
             if o.use_limiter_for_tracers:
                 self.tracer_limiter = VertexBasedP1DGLimiter(
                     self.function_spaces.Q_2d
                 )
             else:
                 self.tracer_limiter = None
+        # sediment + Exner (ref solver2d.py:507-524)
+        so = o.sediment_model_options
+        if self.solve_sediment or self.solve_exner:
+            from .sediment_model import SedimentModel
+            from ..equations.sediment_2d import SedimentEquation2D
+            from ..equations.exner import ExnerEquation
+
+            cls = so.sediment_model_class or SedimentModel
+            self.sediment_model = cls(o, self.mesh2d, depth=self.depth)
+            if self.solve_sediment:
+                self.eq_sediment = SedimentEquation2D(
+                    self.mesh2d, self.asm, o, bathymetry=bathy,
+                    sediment_model=self.sediment_model,
+                    bnd_conditions=self.bnd_functions["sediment"],
+                    depth=self.depth,
+                    conservative=so.use_sediment_conservative_form,
+                )
+            if self.solve_exner:
+                self.eq_exner = ExnerEquation(
+                    self.mesh2d, self.asm, self.function_spaces.P1_2d,
+                    self.depth, self.sediment_model, o,
+                    bnd_conditions=self.bnd_functions["shallow_water"],
+                    depth_integrated_sediment=so.use_sediment_conservative_form,
+                )
+        else:
+            self.sediment_model = None
         self._equations_created = True
 
     def create_timestepper(self):
@@ -259,6 +291,21 @@ class FlowSolver2d:
                     ))
             self.tracer_stepper = get_stepper(
                 tname, self.eq_tracer, self.dt, o, **tkw
+            )
+        so = o.sediment_model_options
+        if self.solve_sediment:
+            self.sediment_stepper = get_stepper(
+                so.sediment_timestepper_type, self.eq_sediment, self.dt, o,
+                **(dict(semi_implicit=True)
+                   if so.sediment_timestepper_type in
+                   ("CrankNicolson", "BackwardEuler") else {}),
+            )
+        if self.solve_exner:
+            self.exner_stepper = get_stepper(
+                so.exner_timestepper_type, self.eq_exner, self.dt, o,
+                **(dict(semi_implicit=True)
+                   if so.exner_timestepper_type in
+                   ("CrankNicolson", "BackwardEuler") else {}),
             )
         self._build_advance()
         self._timestepper_created = True
@@ -388,8 +435,23 @@ class FlowSolver2d:
             f["elev_2d"] = state["elev"]
             return f
 
+        solve_sediment = self.solve_sediment
+        solve_exner = self.solve_exner
+        sediment_stepper = getattr(self, "sediment_stepper", None)
+        exner_stepper = getattr(self, "exner_stepper", None)
+        sediment_model = getattr(self, "sediment_model", None)
+        asm = self.asm
+        depth = self.depth
+        eq_sw = self.eq_sw
+        bnd_sed = self._gather_bnd("sediment") if solve_sediment else {}
+
         def advance(t, state, swe_fields, tracer_extra, bnd_sw, bnd_tr):
+            # lock-step coupled advance (ref coupled_timeintegrator_2d.py:
+            # 93-113): SWE -> tracers(+limiter) -> sediment(+limiter) -> Exner
             sw = {"uv": state["uv"], "elev": state["elev"]}
+            if solve_exner:
+                swe_fields = dict(swe_fields)
+                swe_fields["bathymetry_2d"] = state["bathymetry"]
             if not tracer_only:
                 sw = swe_stepper.advance(t, sw, swe_fields, swe_fields, bnd_sw)
             new_state = dict(state)
@@ -404,6 +466,52 @@ class FlowSolver2d:
                     if limiter is not None:
                         cl = limiter.apply(cl)
                     new_state[l] = cl
+            if solve_sediment:
+                sf = {
+                    "uv_2d": new_state["uv"],
+                    "elev_2d": new_state["elev"],
+                    "lax_friedrichs_tracer_scaling_factor":
+                        tracer_extra.get(
+                            "lax_friedrichs_tracer_scaling_factor", 1.0
+                        ) if tracer_extra else 1.0,
+                }
+                if solve_exner:
+                    sf["bathymetry_2d"] = state["bathymetry"]
+                diff = tracer_extra.get("diffusivity_h-sediment_2d")
+                if diff is not None:
+                    sf["diffusivity_h-sediment_2d"] = diff
+                if sediment_model.use_advective_velocity_correction:
+                    # factor at P1DG dof points (Function product analogue)
+                    b = (
+                        state["bathymetry"] if solve_exner
+                        else self.fields.bathymetry_2d.data
+                    )
+                    b_dof = (
+                        b[self.mesh2d.cells] if b.ndim == 1 and
+                        b.shape[0] == self.mesh2d.nv else b
+                    )
+                    H_dof = depth.total_depth(b_dof, new_state["elev"])
+                    sf["tracer_advective_velocity_factor"] = (
+                        sediment_model
+                        .get_advective_velocity_correction_factor(
+                            new_state["uv"], H_dof
+                        )
+                    )
+                sed = {"sediment_2d": state["sediment_2d"]}
+                sed = sediment_stepper.advance(t, sed, sf, sf, bnd_sed)
+                cl = sed["sediment_2d"]
+                if limiter is not None:
+                    cl = limiter.apply(cl)
+                new_state["sediment_2d"] = cl
+            if solve_exner:
+                ef = {
+                    "uv_2d": new_state["uv"],
+                    "elev_2d": new_state["elev"],
+                    "sediment": new_state.get("sediment_2d"),
+                }
+                zb = {"bathymetry": state["bathymetry"]}
+                zb = exner_stepper.advance(t, zb, ef, ef, {})
+                new_state["bathymetry"] = zb["bathymetry"]
             return new_state
 
         self._advance = advance
@@ -424,6 +532,10 @@ class FlowSolver2d:
         s = {"uv": self.fields.uv_2d.data, "elev": self.fields.elev_2d.data}
         for l in self.tracer_labels:
             s[l] = self.fields[l].data
+        if self.solve_sediment:
+            s["sediment_2d"] = self.fields.sediment_2d.data
+        if self.solve_exner:
+            s["bathymetry"] = self.fields.bathymetry_2d.data
         return s
 
     def _set_state(self, s):
@@ -431,6 +543,10 @@ class FlowSolver2d:
         self.fields.elev_2d.data = s["elev"]
         for l in self.tracer_labels:
             self.fields[l].data = s[l]
+        if self.solve_sediment:
+            self.fields.sediment_2d.data = s["sediment_2d"]
+        if self.solve_exner:
+            self.fields.bathymetry_2d.data = s["bathymetry"]
 
     # ------------------------------------------------------------------
     def differentiable_forward(self, controls, terminal_functional=None,
@@ -522,8 +638,14 @@ class FlowSolver2d:
                 self.function_spaces.U_2d, uv
             )
         for label, value in tracers.items():
-            if label in self.tracer_labels:
+            if label in self.tracer_labels or (
+                label == "sediment_2d" and self.solve_sediment
+            ):
                 self.fields[label].data = self._interp_to(
+                    self.function_spaces.Q_2d, value
+                )
+            elif label == "sediment" and self.solve_sediment:
+                self.fields.sediment_2d.data = self._interp_to(
                     self.function_spaces.Q_2d, value
                 )
 
@@ -665,6 +787,10 @@ class FlowSolver2d:
             tracer_extra = (
                 self._gather_tracer_fields(state) if self.solve_tracer else {}
             )
+            if self.solve_sediment and self.options.horizontal_diffusivity is not None:
+                tracer_extra["diffusivity_h-sediment_2d"] = _value(
+                    self.options.horizontal_diffusivity
+                )
             for k in ("uv_2d", "elev_2d"):
                 tracer_extra.pop(k, None)
             bnd_sw = self._gather_bnd("shallow_water")

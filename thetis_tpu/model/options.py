@@ -13,6 +13,7 @@ scalars or dof arrays.
 
 __all__ = [
     "FrozenOptions",
+    "SedimentModelOptions",
     "TimeStepperOptions",
     "ModelOptions2d",
     "TracerFieldOptions",
@@ -121,6 +122,38 @@ class TracerFieldOptions(FrozenOptions):
         self._freeze()
 
 
+class SedimentModelOptions(FrozenOptions):
+    """ref ``options.py:657-835`` SedimentModelOptions."""
+
+    def __init__(self, **kw):
+        self.solve_suspended_sediment = False
+        self.use_sediment_conservative_form = False
+        self.use_bedload = False
+        self.use_exner = False
+        self.use_sediment_slide = False
+        self.use_angle_correction = True
+        self.use_slope_mag_correction = True
+        self.use_advective_velocity_correction = True
+        self.use_secondary_current = False
+        self.average_sediment_size = 2e-4
+        self.bed_reference_height = 0.025
+        self.sediment_density = 2650.0
+        self.morphological_viscosity = None
+        self.morphological_acceleration_factor = 1.0
+        self.porosity = 0.4
+        self.slope_effect_parameter = 1.3
+        self.slope_effect_angle_parameter = 2.0 / 3.0
+        self.secondary_current_parameter = 0.75
+        self.max_angle = 32.0
+        self.sed_slide_length_scale = 0.0
+        self.slide_region = None
+        self.sediment_model_class = None  # set to SedimentModel lazily
+        self.sediment_timestepper_type = "CrankNicolson"
+        self.exner_timestepper_type = "CrankNicolson"
+        self.update(kw)
+        self._freeze()
+
+
 class ModelOptions2d(FrozenOptions):
     """2D model options (ref ``options.py:866-1041``)."""
 
@@ -189,8 +222,8 @@ class ModelOptions2d(FrozenOptions):
         self.tracer = {}
         self.tracer_only = False
         self.tracer_picard_iterations = 1
-        # sediment / NH placeholders (populated by sub-modules)
-        self.sediment_model_options = None
+        # sediment / NH sub-option objects
+        self.sediment_model_options = SedimentModelOptions()
         self.nh_model_options = None
         # steppers (paired-enum behaviour in __setattr__)
         self.swe_timestepper_type = "CrankNicolson"
