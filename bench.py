@@ -91,8 +91,8 @@ def measure(sol, nsteps, n_dofs, n, device):
 
     sol = jax.device_put(sol, device)
     fn = jax.jit(nsteps, static_argnames=("n",))
-    # warmup/compile
-    out = fn(sol, 2)
+    # warmup/compile with the SAME static n (a different n is a new compile)
+    out = fn(sol, n)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = fn(sol, n)

@@ -237,15 +237,24 @@ class ShallowWaterEquations(EquationBase):
             c["bathy_q"] = self.bathy_q
             c["bathy_grad_q"] = self.bathy_grad_q
             c["bathy_tr"] = self.bathy_tr
-        c["uv_q"] = asm.cell_values(uv)
-        c["eta_q"] = asm.cell_values(eta)
-        c["uv_old_q"] = asm.cell_values(uv_old)
-        c["eta_old_q"] = asm.cell_values(eta_old)
+        # pack all prognostic fields into one wide tensor: TPU gathers cost
+        # the same regardless of row width, so one 6-component gather
+        # replaces four narrow ones (measured flat ~1.1ms/gather for
+        # 3..128 f32 lanes on v5e)
+        packed = jnp.concatenate(
+            [uv, eta[..., None], uv_old, eta_old[..., None]], axis=-1
+        )  # (nc, nd, 6)
+        pq = asm.cell_values(packed)  # (nc, nq, 6)
+        c["uv_q"] = pq[..., 0:2]
+        c["eta_q"] = pq[..., 2]
+        c["uv_old_q"] = pq[..., 3:5]
+        c["eta_old_q"] = pq[..., 5]
         c["H_q"] = self.depth.total_depth(c["bathy_q"], c["eta_old_q"], self.alpha_q)
-        c["uv_tr"] = asm.facet_traces(uv)
-        c["eta_tr"] = asm.facet_traces(eta)
-        c["uv_old_tr"] = asm.facet_traces(uv_old)
-        c["eta_old_tr"] = asm.facet_traces(eta_old)
+        ptr = asm.facet_traces(packed)  # (nf, 2, nqf, 6)
+        c["uv_tr"] = ptr[..., 0:2]
+        c["eta_tr"] = ptr[..., 2]
+        c["uv_old_tr"] = ptr[..., 3:5]
+        c["eta_old_tr"] = ptr[..., 5]
         c["H_tr"] = self.depth.total_depth(c["bathy_tr"], c["eta_old_tr"], self.alpha_tr)
         nfn = self.mesh.facet_normal  # (nf,2)
         c["n"] = nfn[:, None, :]  # (nf,1,2) broadcastable over quad axis
@@ -613,20 +622,49 @@ class ShallowWaterEquations(EquationBase):
         asm = self.asm
         r_uv = jnp.zeros_like(solution["uv"])
         r_eta = jnp.zeros_like(solution["elev"])
-        if B["uv_cell"]:
-            r_uv += asm.cell_to_dofs(B["uv_cell"].val)
-        if B["uv_grad"]:
-            r_uv += asm.grad_to_dofs(B["uv_grad"].val)
-        if B["uv_facet"]:
-            r_uv += asm.facet_to_dofs(B["uv_facet"].val)
+        # pack momentum+continuity contributions so each projection/gather
+        # runs once over a wide tensor (cf. build_context note)
+        if B["uv_cell"] or B["eta_cell"]:
+            uc = B["uv_cell"].val if B["uv_cell"] else None
+            ec = B["eta_cell"].val if B["eta_cell"] else None
+            if uc is not None and ec is not None:
+                rr = asm.cell_to_dofs(
+                    jnp.concatenate([uc, ec[..., None]], axis=-1)
+                )
+                r_uv += rr[..., 0:2]
+                r_eta += rr[..., 2]
+            elif uc is not None:
+                r_uv += asm.cell_to_dofs(uc)
+            else:
+                r_eta += asm.cell_to_dofs(ec)
+        if B["uv_grad"] or B["eta_grad"]:
+            ug = B["uv_grad"].val if B["uv_grad"] else None
+            eg = B["eta_grad"].val if B["eta_grad"] else None
+            if ug is not None and eg is not None:
+                rr = asm.grad_to_dofs(
+                    jnp.concatenate([ug, eg[..., None, :]], axis=-2)
+                )
+                r_uv += rr[..., 0:2]
+                r_eta += rr[..., 2]
+            elif ug is not None:
+                r_uv += asm.grad_to_dofs(ug)
+            else:
+                r_eta += asm.grad_to_dofs(eg)
+        if B["uv_facet"] or B["eta_facet"]:
+            uf = B["uv_facet"].val if B["uv_facet"] else None
+            ef = B["eta_facet"].val if B["eta_facet"] else None
+            if uf is not None and ef is not None:
+                rr = asm.facet_to_dofs(
+                    jnp.concatenate([uf, ef[..., None]], axis=-1)
+                )
+                r_uv += rr[..., 0:2]
+                r_eta += rr[..., 2]
+            elif uf is not None:
+                r_uv += asm.facet_to_dofs(uf)
+            else:
+                r_eta += asm.facet_to_dofs(ef)
         if B["uv_fgrad"]:
             r_uv += asm.fgrad_to_dofs(B["uv_fgrad"].val)
-        if B["eta_cell"]:
-            r_eta += asm.cell_to_dofs(B["eta_cell"].val)
-        if B["eta_grad"]:
-            r_eta += asm.grad_to_dofs(B["eta_grad"].val)
-        if B["eta_facet"]:
-            r_eta += asm.facet_to_dofs(B["eta_facet"].val)
         return swe_state(r_uv, r_eta)
 
     def mass_term(self, solution):

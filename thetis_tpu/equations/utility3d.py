@@ -1,0 +1,151 @@
+r"""3D diagnostic operators.
+
+Re-implementation of ``thetis/utility3d.py`` (SURVEY.md section 2.6) on the
+column-local extruded arrays:
+
+  VerticalVelocitySolver  (ref L27-129)  w from weak continuity + bottom
+                                          impermeability
+  VerticalIntegrator      (ref L132-210) -> ``Assembler3D.vertical_integral``
+                                          / ``cumulative_integral``
+  DensitySolver           (ref L213-280) pointwise EOS evaluation
+  BaroclinicHead + InternalPressureGradientCalculator
+                          (ref ``utility.py:478-492``, ``momentum_eq.py:
+                          612-699``): r = -1/rho0 int_z^eta rho' dz,
+                          int_pg = g grad_h(r)
+  ExpandFunctionTo3d / SubFunctionExtractor (ref L471-708): 2D<->3D copies
+                          become broadcasts / slices of the dense layout
+  SmagorinskyViscosity    (ref L879-997)
+  ALE mesh update         (ref L711-876) -> ``ExtrudedMesh.z_interfaces``
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import physical_constants
+
+__all__ = [
+    "VerticalVelocitySolver",
+    "DensitySolver",
+    "BaroclinicHeadCalculator",
+    "SmagorinskyViscosity",
+    "expand_function_to_3d",
+    "extract_surface_2d",
+    "extract_bottom_2d",
+]
+
+
+def expand_function_to_3d(u2d, nz):
+    """2D nodal field (nc, 3[, k]) -> 3D (nc, 3, nz, 2[, k]) by vertical
+    broadcast (ref ``ExpandFunctionTo3d`` op2 kernel, L521-534)."""
+    return jnp.broadcast_to(
+        u2d[:, :, None, None, ...],
+        u2d.shape[:2] + (nz, 2) + u2d.shape[2:],
+    )
+
+
+def extract_surface_2d(u3d):
+    """3D -> 2D: value at the free surface (top node of top layer)
+    (ref ``SubFunctionExtractor``, L659-683)."""
+    return u3d[:, :, -1, 1]
+
+
+def extract_bottom_2d(u3d):
+    return u3d[:, :, 0, 0]
+
+
+class VerticalVelocitySolver:
+    r"""Diagnostic vertical velocity from incompressibility:
+    dw/dz = -div_h(uv), w(-h) = -uv . grad(h)  (ref L27-129).
+
+    Computed pointwise at horizontal dof columns by integrating the
+    projected horizontal divergence upward from the bottom.
+    """
+
+    def __init__(self, asm3d, bathymetry_cell):
+        """:arg bathymetry_cell: (nc, 3) bathymetry at horizontal nodes"""
+        self.asm3d = asm3d
+        self.bathy_cell = bathymetry_cell
+        asm2 = asm3d.asm2d
+        # nodal horizontal gradient of bathymetry (P1 per cell: constant)
+        self.grad_h = asm2.cell_grads(bathymetry_cell)[:, 0]  # (nc, 2)
+
+    def solve(self, uv3d, geom):
+        """:arg uv3d: (nc, 3, nz, 2, 2); returns w (nc, 3, nz, 2)."""
+        asm3d = self.asm3d
+        # horizontal divergence at quad points, projected to dofs
+        g = asm3d.cell_grads(uv3d, geom)  # (nc,nz,nq,nqv,2,3)
+        div_h = g[..., 0, 0] + g[..., 1, 1]
+        div_dofs = asm3d.mass_inverse(
+            asm3d.cell_to_dofs(div_h, geom), geom
+        )  # (nc,3,nz,2)
+        # cumulative integral from the bottom: w(z) = w_b - int_{-h}^z div
+        w_cum = asm3d.cumulative_integral(div_dofs, geom, from_top=False)
+        uv_bot = uv3d[:, :, 0, 0]  # (nc,3,2)
+        w_b = -(uv_bot * self.grad_h[:, None, :]).sum(-1)  # (nc,3)
+        return w_b[:, :, None, None] - w_cum
+
+
+class DensitySolver:
+    """Pointwise EOS evaluation at dof points (ref L213-280)."""
+
+    def __init__(self, eos, rho0=None):
+        self.eos = eos
+        self.rho0 = physical_constants["rho0"] if rho0 is None else rho0
+
+    def solve(self, salt, temp, pressure=0.0):
+        """density anomaly rho' = rho(S,T,p) - rho0."""
+        return self.eos.compute_rho(salt, temp, pressure, self.rho0)
+
+
+class BaroclinicHeadCalculator:
+    r"""Baroclinic head r = -1/rho0 int_z^eta rho' dz and the internal
+    pressure gradient int_pg = g grad_h(r)
+    (ref ``utility.py:478-492``, ``momentum_eq.py:612-699``)."""
+
+    def __init__(self, asm3d):
+        self.asm3d = asm3d
+        self.rho0 = physical_constants["rho0"]
+        self.g = physical_constants["g_grav"]
+
+    def compute_head(self, rho_prime, geom):
+        """(nc, 3, nz, 2) density anomaly -> baroclinic head at dofs."""
+        return -(1.0 / self.rho0) * self.asm3d.cumulative_integral(
+            rho_prime, geom, from_top=True
+        )
+
+    def compute_int_pg(self, baroc_head, geom):
+        """int_pg = g grad_h(r) projected to dofs: (nc, 3, nz, 2, 2)."""
+        asm3d = self.asm3d
+        gr = asm3d.cell_grads(baroc_head, geom)[..., 0:2]  # horizontal part
+        return asm3d.mass_inverse(
+            asm3d.cell_to_dofs(self.g * gr, geom), geom
+        )
+
+
+class SmagorinskyViscosity:
+    r"""nu = (C_s dx)^2 |S|, |S|^2 = du/dx^2 + dv/dy^2
+    + 0.5 (du/dy + dv/dx)^2 (ref ``utility3d.py:879-997``)."""
+
+    def __init__(self, asm3d, cs=0.1, max_visc=None, min_visc=1e-10):
+        self.asm3d = asm3d
+        self.cs = cs
+        self.max_visc = max_visc
+        self.min_visc = min_visc
+        mesh = asm3d.mesh
+        self.dx2 = jnp.asarray((cs * mesh.cell_hmin_np) ** 2)  # (nc,)
+
+    def solve(self, uv3d, geom):
+        asm3d = self.asm3d
+        g = asm3d.cell_grads(uv3d, geom)  # (nc,nz,nq,nqv,2,3)
+        dudx = g[..., 0, 0]
+        dudy = g[..., 0, 1]
+        dvdx = g[..., 1, 0]
+        dvdy = g[..., 1, 1]
+        s_mag = jnp.sqrt(
+            dudx**2 + dvdy**2 + 0.5 * (dudy + dvdx) ** 2
+        )
+        nu_q = self.dx2[:, None, None, None] * s_mag
+        nu = asm3d.mass_inverse(asm3d.cell_to_dofs(nu_q, geom), geom)
+        nu = jnp.maximum(nu, self.min_visc)
+        if self.max_visc is not None:
+            nu = jnp.minimum(nu, self.max_visc)
+        return nu
