@@ -579,6 +579,7 @@ class FlowSolver2d:
         bnd_sw = self._gather_bnd("shallow_water")
         bnd_tr = self._gather_bnd("tracer")
         name_map = {
+            "bathymetry_2d": "bathymetry_2d",
             "coriolis_frequency": "coriolis",
             "horizontal_viscosity": "viscosity_h",
             "wind_stress": "wind_stress",
