@@ -1,0 +1,92 @@
+"""Temporal convergence of every time integrator on a 2x2 oscillator,
+mirroring the reference's ``test/time_integration/test_convergence_ode.py``
+(a pure-ODE problem built from custom terms; expected orders asserted
+within a tolerance)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import stats
+
+from thetis_tpu.timeintegration.steppers import get_stepper
+from thetis_tpu.timeintegration.implicitexplicit import get_imex_stepper
+from thetis_tpu.solvers.newton import NewtonParameters
+
+OMEGA = 2.0
+
+
+class OscillatorEquation:
+    """du/dt = omega*v, dv/dt = -omega*u; exact solution rotation.
+    The two components are tagged 'explicit'/'implicit' so IMEX schemes
+    exercise both branches (cf. ref L15-45)."""
+
+    def residual(self, label, sol, sol_old, fields, fields_old, bnd):
+        if isinstance(label, str):
+            labels = {"all": {"explicit", "implicit", "source", "nonlinear"}}.get(
+                label, {label}
+            )
+        else:
+            labels = set(label)
+        u, v = sol["u"], sol["v"]
+        r_u = jnp.zeros_like(u)
+        r_v = jnp.zeros_like(v)
+        if "explicit" in labels:
+            r_u = r_u + OMEGA * v
+        if "implicit" in labels:
+            r_v = r_v - OMEGA * u
+        return {"u": r_u, "v": r_v}
+
+    def mass_term(self, sol):
+        return dict(sol)
+
+    def mass_inverse(self, r):
+        return dict(r)
+
+
+def run(stepper_name, n, imex=False):
+    eq = OscillatorEquation()
+    T = 2.0
+    dt = T / n
+    params = NewtonParameters(snes_rtol=1e-13, snes_atol=1e-15,
+                              ksp_rtol=1e-13, snes_max_it=20)
+    kw = {}
+    if stepper_name in ("CrankNicolson", "BackwardEuler", "DIRK22", "DIRK33",
+                        "DIRK43"):
+        kw["solver_parameters"] = params
+    if imex:
+        stepper = get_imex_stepper(stepper_name, eq, dt,
+                                   solver_parameters=params)
+    else:
+        stepper = get_stepper(stepper_name, eq, dt, **kw)
+    import jax
+
+    step = jax.jit(lambda s: stepper.advance(0.0, s, {}, {}, {}))
+    sol = {"u": jnp.asarray([1.0]), "v": jnp.asarray([0.0])}
+    for _ in range(n):
+        sol = step(sol)
+    exact_u = np.cos(OMEGA * T)
+    exact_v = -np.sin(OMEGA * T)
+    return float(
+        np.hypot(float(sol["u"][0]) - exact_u, float(sol["v"][0]) - exact_v)
+    )
+
+
+@pytest.mark.parametrize(
+    "name,expected,imex",
+    [
+        ("ForwardEuler", 1.0, False),
+        ("BackwardEuler", 1.0, False),
+        ("CrankNicolson", 2.0, False),
+        ("SSPRK33", 3.0, False),
+        ("DIRK22", 2.0, False),
+        ("DIRK33", 3.0, False),
+        ("SSPIMEX", 2.0, False or True),
+        ("IMEXEuler", 1.0, True),
+    ],
+)
+def test_ode_convergence(name, expected, imex):
+    ns = [16, 32, 64]
+    errs = [run(name, n, imex=imex or name == "SSPIMEX") for n in ns]
+    slope = stats.linregress(np.log(ns), np.log(errs)).slope
+    order = -slope
+    print(f"{name}: errors {errs} order {order:.2f}")
+    assert order > expected - 0.25, f"{name} order {order} < {expected}"

@@ -15,9 +15,15 @@ from thetis_tpu import (
 
 
 @pytest.mark.parametrize(
-    "timesteps,max_rel_err", [(10, 0.02), (20, 5e-3), (40, 1.25e-3)]
+    "timesteps,max_rel_err,stepper",
+    [
+        (10, 0.02, "CrankNicolson"),
+        (20, 5e-3, "CrankNicolson"),
+        (40, 1.25e-3, "CrankNicolson"),
+        (20, 5e-3, "PressureProjectionPicard"),
+    ],
 )
-def test_standing_wave_channel(timesteps, max_rel_err):
+def test_standing_wave_channel(timesteps, max_rel_err, stepper):
     lx = 5e3
     ly = 1e3
     nx = 100
@@ -40,9 +46,11 @@ def test_standing_wave_channel(timesteps, max_rel_err):
     o.simulation_export_time = dt * n  # single export at the end
     o.simulation_end_time = t_end
     o.no_exports = True
-    o.swe_timestepper_type = "CrankNicolson"
-    # CN stops being 2nd order if linearised (ref comment L53-55)
-    o.swe_timestepper_options.use_semi_implicit_linearization = False
+    o.swe_timestepper_type = stepper
+    if stepper == "CrankNicolson":
+        # CN stops being 2nd order if linearised (ref comment L53-55);
+        # PressureProjectionPicard restores 2nd order with 2 Picard sweeps
+        o.swe_timestepper_options.use_semi_implicit_linearization = False
 
     x, y = SpatialCoordinate(p1_2d)
     elev_init = Function(p1_2d).interpolate(cos(pi * x / lx))

@@ -42,6 +42,13 @@ def swe_state(uv, elev):
     return {"uv": uv, "elev": elev}
 
 
+def _safe_mag(sq):
+    """sqrt of a non-negative quantity with a derivative-safe floor:
+    sqrt at exactly 0 has an infinite derivative, which turns materialized
+    zero tangents into NaNs under AD (jnp.where/max guard pattern)."""
+    return jnp.sqrt(jnp.maximum(sq, 1e-28))
+
+
 class DepthExpression:
     """Total-depth expression incl. wetting-and-drying displacement
     (ref ``thetis/utility.py:936-995``, Karna et al. 2011).
@@ -550,7 +557,7 @@ class ShallowWaterEquations(EquationBase):
         else:
             return
         alpha = float(getattr(self.options, "norm_smoother", 0.0))
-        unorm = jnp.sqrt((c["uv_old_q"] ** 2).sum(-1) + alpha**2)
+        unorm = _safe_mag((c["uv_old_q"] ** 2).sum(-1) + alpha**2)
         B["uv_cell"].add(-(C_D * unorm / H)[..., None] * c["uv_q"])
 
     def _t_ldrag(self, c, B):
@@ -571,7 +578,7 @@ class ShallowWaterEquations(EquationBase):
             uv_old_b = c["uv_old_tr"][:, 0]
             ut = uv_b - (uv_b * n).sum(-1)[..., None] * n
             ut_old = uv_old_b - (uv_old_b * n).sum(-1)[..., None] * n
-            ut_mag = jnp.sqrt((ut_old**2).sum(-1))
+            ut_mag = _safe_mag((ut_old**2).sum(-1))
             contrib = (
                 -(C_D * ut_mag)[..., None] * ut * self._mask_q(self.marker_masks[m], 1)
             )
@@ -586,7 +593,7 @@ class ShallowWaterEquations(EquationBase):
             density_q = c["fields"].get(
                 f"turbine_density_{i}", farm.turbine_density_q
             )
-            unorm = jnp.sqrt((c["uv_old_q"] ** 2).sum(-1))
+            unorm = _safe_mag((c["uv_old_q"] ** 2).sum(-1))
             c_t = farm.friction_coefficient_q(c["uv_old_q"], c["H_q"])
             B["uv_cell"].add(
                 -(c_t * density_q * unorm / c["H_q"])[..., None] * c["uv_q"]

@@ -272,11 +272,17 @@ class FlowSolver2d:
             )
             if name == "CrankNicolson":
                 kw["theta"] = float(getattr(sp, "implicitness_theta", 0.5))
-        self.timestepper = get_stepper(name, self.eq_sw, self.dt, o, **kw)
         if name == "SteadyState":
             spp = getattr(sp, "solver_parameters", None)
             if isinstance(spp, NewtonParameters):
                 kw["solver_parameters"] = spp
+        if name == "PressureProjectionPicard":
+            kw["theta"] = float(getattr(sp, "implicitness_theta", 0.5))
+            kw["picard_iterations"] = int(getattr(sp, "picard_iterations", 2))
+            spp = getattr(sp, "solver_parameters", None)
+            if isinstance(spp, NewtonParameters):
+                kw["solver_parameters"] = spp
+        self.timestepper = get_stepper(name, self.eq_sw, self.dt, o, **kw)
         if self.solve_tracer:
             tname = o.tracer_timestepper_type
             tkw = {}
@@ -668,6 +674,9 @@ class FlowSolver2d:
         value = jnp.asarray(value)
         if value.shape == space.dof_shape():
             return value
+        # CG1 vertex data (scalar or vector) -> DG nodes via the cell map
+        if value.shape[:1] == (self.mesh2d.nv,):
+            return value[self.mesh2d.cells].astype(space.zero_dofs().dtype)
         return jnp.broadcast_to(value, space.dof_shape()).astype(
             space.zero_dofs().dtype
         )

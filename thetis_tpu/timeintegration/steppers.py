@@ -22,6 +22,7 @@ from .rungekutta import SCHEMES
 
 __all__ = [
     "ForwardEuler",
+    "PressureProjectionPicard",
     "SSPRK33",
     "CrankNicolson",
     "BackwardEuler",
@@ -262,6 +263,55 @@ class ERKGeneric(TimeIntegrator):
         )
 
 
+class PressureProjectionPicard(TimeIntegrator):
+    """Picard-iterated theta scheme (ref ``timeintegrator.py:305-464``).
+
+    The reference splits into a momentum predictor and a wave-equation
+    corrector with an assembled Schur preconditioner (dg-cg only); here
+    the same Picard linearisation is applied to the monolithic system:
+    each of ``picard_iterations`` sweeps solves the linearised theta
+    system about the previous iterate (two iterations restore 2nd-order
+    accuracy, ref L456-462)."""
+
+    cfl_coeff = np.inf
+
+    def __init__(self, equation, dt, options=None, theta=0.5,
+                 picard_iterations=2, solver_parameters=None):
+        super().__init__(equation, dt, options)
+        self.theta = float(theta)
+        self.iterations = int(picard_iterations)
+        # one linear solve per Picard sweep: needs a stronger Krylov run
+        # than the Newton steppers (which refine over outer iterations)
+        self.params = solver_parameters or NewtonParameters(
+            ksp_rtol=1e-10, ksp_max_it=240, gmres_restart=60
+        )
+        self.params.snes_max_it = 1
+        self.params.snes_rtol = 1e-16
+
+    def advance(self, t, solution, fields, fields_old, bnd_values):
+        eq = self.equation
+        dt, th = self.dt, self.theta
+        u_old = solution
+        m_old = eq.mass_term(u_old)
+        r_expl = eq.residual("all", u_old, u_old, fields_old, fields_old,
+                             bnd_values)
+        const = _tree_lc([(-1.0, m_old), (-(1 - th) * dt, r_expl)])
+        u = u_old
+        for _ in range(self.iterations):
+            u_lag = u
+
+            def F(w, u_lag=u_lag):
+                r_impl = eq.residual("all", w, u_lag, fields, fields,
+                                     bnd_values)
+                return _tree_lc(
+                    [(1.0, eq.mass_term(w)), (-th * dt, r_impl), (1.0, const)]
+                )
+
+            u = newton_solve(F, u, precond=eq.mass_inverse,
+                             params=self.params)
+        return u
+
+
 class SteadyState(TimeIntegrator):
     """Solve the steady equations, no mass term
     (ref ``timeintegrator.py:255-302``)."""
@@ -310,4 +360,10 @@ def get_stepper(name, equation, dt, options=None, **kw):
         return DIRKGeneric(equation, dt, scheme=name, options=options, **kw)
     if name == "SteadyState":
         return SteadyState(equation, dt, options, **kw)
+    if name in ("SSPIMEX", "IMEXLPUM2", "IMEXEuler"):
+        from .implicitexplicit import get_imex_stepper
+
+        return get_imex_stepper(name, equation, dt, options, **kw)
+    if name == "PressureProjectionPicard":
+        return PressureProjectionPicard(equation, dt, options, **kw)
     raise ValueError(f"unknown time stepper: {name}")
