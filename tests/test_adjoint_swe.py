@@ -17,7 +17,10 @@ velocity_u = 2.0
 
 def basic_setup(stepper):
     lx, ly = 100.0, 50.0
-    mesh2d = RectangleMesh(20, 10, lx, ly)
+    # SteadyState uses dense-LU solves (jacfwd materialisation ~ O(n^2));
+    # keep its mesh small
+    nx, ny = (10, 5) if stepper == "SteadyState" else (16, 8)
+    mesh2d = RectangleMesh(nx, ny, lx, ly)
     P1_2d = FunctionSpace(mesh2d, "CG", 1)
     bathymetry_2d = Function(P1_2d, name="Bathymetry").assign(50.0)
 
