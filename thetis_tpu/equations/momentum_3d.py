@@ -1,0 +1,223 @@
+r"""3D momentum equation for the mode-split deviation velocity.
+
+Re-implementation of ``thetis/momentum_eq.py`` (SURVEY.md section 2.2): the
+momentum equation advances the *deviation* velocity u' of the
+Higdon-de Szoeke mode splitting (ref docstring L38-58); the depth average
+is carried by the 2D system and re-imposed by the coupled integrator
+(``_update_2d_coupling``, ref ``coupled_timeintegrator.py:43-58``).
+
+Terms (ref L130-569):
+  PressureGradientTerm     — internal pressure gradient as a precomputed
+                             field (``BaroclinicHeadCalculator``)
+  HorizontalAdvectionTerm  — upwinded inter-column momentum flux
+  VerticalAdvectionTerm    — inter-layer flux with w (ALE: w - w_mesh)
+  CoriolisTerm
+  HorizontalViscosityTerm  — (SIPG penalty part)
+  VerticalViscosityTerm    — implicit column solves (handled separately,
+                             see ``vertical_viscosity_implicit``)
+  SourceTerm               — incl. surface wind stress flux
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from .base import Bucket, EquationBase
+
+__all__ = ["MomentumEquation3D", "vertical_viscosity_implicit"]
+
+
+class MomentumEquation3D(EquationBase):
+    def __init__(self, mesh2d, asm3d, options, bnd_conditions=None):
+        super().__init__(mesh2d, asm3d.asm2d, bnd_conditions)
+        self.asm3d = asm3d
+        self.options = options
+        self.use_lf = bool(getattr(options, "use_lax_friedrichs_velocity",
+                                   True))
+        p = 1
+        self.cp = (p + 1) * (p + 2) / 2.0
+        self.sipg = float(getattr(options, "sipg_factor", 1.0))
+        self.add_term("PressureGradientTerm", "implicit", self._t_pg)
+        self.add_term("HorizontalAdvectionTerm", "explicit", self._t_hadv)
+        self.add_term("VerticalAdvectionTerm", "explicit", self._t_vadv)
+        self.add_term("CoriolisTerm", "explicit", self._t_coriolis)
+        self.add_term("HorizontalViscosityTerm", "explicit", self._t_hvisc)
+        self.add_term("SourceTerm", "source", self._t_source)
+
+    def build_context(self, solution, fields, geom):
+        a3 = self.asm3d
+        c = {"fields": fields, "geom": geom}
+        uv = solution["uv_3d"]
+        c["uv_q"] = a3.cell_values(uv)       # (nc,nz,nq,nqv,2)
+        c["uv_tr"] = a3.facet_traces(uv)     # (nf,2,nz,nqf,nqv,2)
+        c["uv_below"], c["uv_above"] = a3.interface_values(uv)
+        c["n"] = self.mesh.facet_normal[:, None, None, None, :]
+        w = fields.get("w_3d")
+        if w is not None:
+            wm = fields.get("w_mesh_3d")
+            w_rel = w if wm is None else w - wm
+            wb, wa = a3.interface_values(w_rel)
+            c["w_if"] = 0.5 * (wb + wa)
+        return c
+
+    def _t_pg(self, c, B):
+        """Internal pressure gradient (ref L130-160).
+
+        Our ``int_pg_3d`` convention is ``g grad_h(r)`` with
+        ``r = -1/rho0 int_z^eta rho' dz`` (BaroclinicHeadCalculator), for
+        which the momentum tendency is ``+g grad_h(r)``: with dense water
+        on one side, the bottom accelerates toward the light side."""
+        int_pg = c["fields"].get("int_pg_3d")
+        if int_pg is not None:
+            B["cell"].add(self.asm3d.cell_values(int_pg))
+
+    def _t_hadv(self, c, B):
+        """Upwinded momentum advection (ref L163-266)."""
+        if not getattr(self.options, "use_nonlinear_equations", True):
+            return
+        n = c["n"]
+        uv_q = c["uv_q"]
+        # conservative flux: d/dx_j (u_j u_k): tested against grad(test)
+        B["grad"].add(uv_q[..., :, None] * uv_q[..., None, :])
+        uv0, uv1 = c["uv_tr"][:, 0], c["uv_tr"][:, 1]
+        un0 = (uv0 * n).sum(-1)
+        un1 = (uv1 * n).sum(-1)
+        un_av = 0.5 * (un0 + un1)
+        s = 0.5 * (jnp.sign(un_av) + 1.0)
+        uv_up = uv0 * s[..., None] + uv1 * (1 - s[..., None])
+        flux = uv_up * un_av[..., None]
+        mi = self.mask_int.reshape(-1, 1, 1, 1, 1)
+        B["vfacet"].add(jnp.stack([-flux, flux], axis=1) * mi[:, None])
+        if self.use_lf:
+            gamma = 0.5 * jnp.abs(un_av)[..., None]
+            jmp = uv1 - uv0
+            B["vfacet"].add(
+                jnp.stack([gamma * jmp, -gamma * jmp], axis=1) * mi[:, None]
+            )
+        # boundary: impermeable lateral walls (deviation velocity):
+        # mirror-velocity LF penalty only (ref L213-259 simplified)
+        un_b = un0
+        contrib = -2.0 * 0.5 * jnp.abs(un_b)[..., None] * un_b[..., None] * n
+        mb = self.mask_bnd.reshape(-1, 1, 1, 1, 1)
+        B["vfacet"].add(
+            jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1)
+            * mb[:, None]
+        )
+
+    def _t_vadv(self, c, B):
+        """Vertical momentum advection (ref L269-314)."""
+        if "w_if" not in c or not getattr(self.options,
+                                          "use_nonlinear_equations", True):
+            return
+        w = c["w_if"][..., None]  # (nc, nz+1, nq, 1)
+        ub, ua = c["uv_below"], c["uv_above"]
+        s = 0.5 * (jnp.sign(c["w_if"]) + 1.0)[..., None]
+        uv_up = ub * s + ua * (1 - s)
+        flux = uv_up * w
+        zero = jnp.zeros_like(flux[:, :1])
+        flux = jnp.concatenate([zero, flux[:, 1:-1], zero], axis=1)
+        B["hfacet_below"].add(flux)
+        B["hfacet_above"].add(-flux)
+        wq = self.asm3d.cell_values(c["fields"]["w_3d"])
+        B["gradz"].add(c["uv_q"] * wq[..., None])
+
+    def _t_coriolis(self, c, B):
+        cor = c["fields"].get("coriolis")
+        if cor is None:
+            return
+        f = jnp.asarray(cor)
+        uv = c["uv_q"]
+        B["cell"].add(
+            jnp.stack([f * uv[..., 1], -f * uv[..., 0]], axis=-1)
+        )
+
+    def _t_hvisc(self, c, B):
+        """Horizontal SIPG viscosity, penalty + cell parts (ref L317-389)."""
+        nu = c["fields"].get("viscosity_h")
+        if nu is None:
+            return
+        a3 = self.asm3d
+        g = a3.cell_grads(c["_dofs"], c["geom"])  # (...,2comp,3)
+        B["grad"].add(-nu * g[..., 0:2])
+        ln = self.mesh.facet_l_normal
+        sigma = self.sipg * self.cp / ln
+        sigma_max = jnp.maximum(sigma[:, 0], sigma[:, 1]).reshape(
+            -1, 1, 1, 1, 1
+        )
+        uv0, uv1 = c["uv_tr"][:, 0], c["uv_tr"][:, 1]
+        pen = sigma_max * nu * (uv0 - uv1)
+        mi = self.mask_int.reshape(-1, 1, 1, 1, 1)
+        B["vfacet"].add(jnp.stack([-pen, pen], axis=1) * mi[:, None])
+
+    def _t_source(self, c, B):
+        src = c["fields"].get("momentum_source_3d")
+        if src is not None:
+            B["cell"].add(self.asm3d.cell_values(src))
+
+    # -- assembly --------------------------------------------------------
+    def residual(self, label, solution, solution_old, fields, fields_old,
+                 bnd_values, geom=None):
+        assert geom is not None
+        c = self.build_context(solution, fields, geom)
+        c["_dofs"] = solution["uv_3d"]
+        B = {k: Bucket() for k in (
+            "cell", "grad", "gradz", "vfacet", "hfacet_below", "hfacet_above"
+        )}
+        for _, method in self.select_terms(label):
+            method(c, B)
+        a3 = self.asm3d
+        r = jnp.zeros_like(solution["uv_3d"])
+        if B["cell"]:
+            r += a3.cell_to_dofs(B["cell"].val, geom)
+        if B["grad"] or B["gradz"]:
+            gh = (B["grad"].val if B["grad"]
+                  else jnp.zeros(c["uv_q"].shape + (2,)))
+            gz = B["gradz"].val if B["gradz"] else jnp.zeros_like(c["uv_q"])
+            r += a3.grad_to_dofs(
+                jnp.concatenate([gh, gz[..., None]], axis=-1), geom
+            )
+        if B["vfacet"]:
+            r += a3.vfacet_to_dofs(B["vfacet"].val, geom)
+        if B["hfacet_below"] or B["hfacet_above"]:
+            zb = jnp.zeros(c["uv_below"].shape)
+            r += a3.hfacet_to_dofs(
+                B["hfacet_below"].val if B["hfacet_below"] else zb,
+                B["hfacet_above"].val if B["hfacet_above"] else zb,
+                geom,
+            )
+        return {"uv_3d": r}
+
+    def mass_term(self, solution, geom):
+        return {"uv_3d": self.asm3d.mass_apply(solution["uv_3d"], geom)}
+
+    def mass_inverse(self, r, geom):
+        return {"uv_3d": self.asm3d.mass_inverse(r["uv_3d"], geom)}
+
+
+def vertical_viscosity_implicit(uv, nu_v, Dn, dt, stress_top=None,
+                                bottom_drag=None, uv_bot=None):
+    r"""Backward-Euler implicit vertical viscosity column solve for both
+    velocity components (ref ``VerticalViscosityTerm`` L392-440 +
+    ``CoupledTwoStageRK`` implicit stage L688-699), with optional surface
+    stress flux and quadratic bottom friction:
+
+      du/dt = d/dz(nu dv/dz),  nu du/dz|_s = tau/rho0,
+      nu du/dz|_b = C_d |u_b| u_b.
+    """
+    from .turbulence import GenericLengthScaleModel
+
+    solver = GenericLengthScaleModel.__new__(GenericLengthScaleModel)
+
+    out = []
+    for kcomp in range(2):
+        f = uv[..., kcomp]
+        rhs = f
+        if stress_top is not None:
+            v_top = jnp.maximum(0.5 * Dn[..., -1], 1e-12)
+            rhs = rhs.at[..., -1, 1].add(dt * stress_top[..., kcomp] / v_top)
+        if bottom_drag is not None and uv_bot is not None:
+            ub_mag = jnp.sqrt((uv_bot**2).sum(-1) + 1e-14)
+            v_bot = jnp.maximum(0.5 * Dn[..., 0], 1e-12)
+            rhs = rhs.at[..., 0, 0].add(
+                -dt * bottom_drag * ub_mag * uv_bot[..., kcomp] / v_bot
+            )
+        out.append(solver._vdiff_implicit(rhs, nu_v, Dn, dt))
+    return jnp.stack(out, axis=-1)

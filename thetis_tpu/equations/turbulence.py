@@ -222,18 +222,21 @@ class GenericLengthScaleModel:
         dz_top = Dn[..., -1]
         z_b = 0.5 * dz_bot + z0b
         z_s = 0.5 * dz_top + z0s
-        flux_b = (o.n * diff_psi[..., 0, 0] * o.cmu0**o.p
+        # inward wall flux magnitude |n| ... : for n<0 the law of the wall
+        # has psi increasing toward the wall (l ~ kappa z), so the boundary
+        # flux acts as a positive source in the wall cells
+        flux_b = (jnp.abs(o.n) * diff_psi[..., 0, 0] * o.cmu0**o.p
                   * jnp.maximum(k[..., 0, 0], o.k_min) ** o.m
                   * kappa**o.n * z_b ** (o.n - 1.0))
-        flux_s = (o.n * diff_psi[..., -1, 1] * o.cmu0**o.p
+        flux_s = (jnp.abs(o.n) * diff_psi[..., -1, 1] * o.cmu0**o.p
                   * jnp.maximum(k[..., -1, 1], o.k_min) ** o.m
                   * kappa**o.n * z_s ** (o.n - 1.0))
-        # finite-volume source on the boundary cells (flux / cell size)
+        # finite-volume source on the boundary half-cells
         psi_star = psi_star.at[..., 0, 0].add(
-            dt * flux_b / jnp.maximum(dz_bot, 1e-12)
+            dt * flux_b / jnp.maximum(0.5 * dz_bot, 1e-12)
         )
         psi_star = psi_star.at[..., -1, 1].add(
-            dt * flux_s / jnp.maximum(dz_top, 1e-12)
+            dt * flux_s / jnp.maximum(0.5 * dz_top, 1e-12)
         )
         # --- implicit vertical diffusion --------------------------------
         k_new = self._vdiff_implicit(k_star, nu / o.schmidt_nb_tke, Dn, dt)
@@ -254,20 +257,26 @@ class GenericLengthScaleModel:
         # collapse (layer, vnode) to interface profile of length nz+1
         prof = jnp.concatenate([f[..., :, 0], f[..., -1:, 1]], axis=-1)
         nu_if = jnp.concatenate([nu[..., :, 0], nu[..., -1:, 1]], axis=-1)
-        dz = jnp.concatenate(
-            [Dn, Dn[..., -1:]], axis=-1
-        )  # (nc,3,nz+1) cell sizes around interfaces (approximate)
         nzp = prof.shape[-1]
-        # tridiagonal coefficients: -a f_{i-1} + b f_i - c f_{i+1} = f*
+        # finite volumes around interfaces: V_0 = Dn_0/2,
+        # V_i = (Dn_{i-1}+Dn_i)/2, V_n = Dn_{n-1}/2 — this makes the scheme
+        # exactly conserve the trapezoid column integral
+        V = jnp.concatenate(
+            [0.5 * Dn[..., :1],
+             0.5 * (Dn[..., :-1] + Dn[..., 1:]),
+             0.5 * Dn[..., -1:]], axis=-1,
+        )
+        V = jnp.maximum(V, 1e-12)
+        # flux between interfaces i, i+1: F_i = nu_mid_i (f_{i+1}-f_i)/Dn_i
         nu_mid = 0.5 * (nu_if[..., :-1] + nu_if[..., 1:])
-        dz_mid = jnp.maximum(0.5 * (dz[..., :-1] + dz[..., 1:]), 1e-12)
-        w = dt * nu_mid / dz_mid / jnp.maximum(dz[..., :-1], 1e-12)
-        a = jnp.concatenate([jnp.zeros_like(w[..., :1]), w], axis=-1)
-        c = jnp.concatenate([w, jnp.zeros_like(w[..., :1])], axis=-1)
+        g = dt * nu_mid / jnp.maximum(Dn, 1e-12)  # (.., nz)
+        a = jnp.concatenate([jnp.zeros_like(g[..., :1]), g], axis=-1) / V
+        c = jnp.concatenate([g, jnp.zeros_like(g[..., :1])], axis=-1) / V
         b = 1.0 + a + c
         # batched Thomas algorithm via scan over the vertical axis
         shape = prof.shape
 
+        # system: -a_i f_{i-1} + b_i f_i - c_i f_{i+1} = d_i
         def thomas(carry, idx):
             cp_prev, dp_prev = carry
             ai = a[..., idx]
@@ -276,7 +285,7 @@ class GenericLengthScaleModel:
             di = prof[..., idx]
             m = bi - ai * cp_prev
             cp = ci / m
-            dp = (di - ai * dp_prev) / m
+            dp = (di + ai * dp_prev) / m
             return (cp, dp), (cp, dp)
 
         init = (jnp.zeros(shape[:-1]), jnp.zeros(shape[:-1]))
@@ -286,7 +295,7 @@ class GenericLengthScaleModel:
 
         def backsub(carry, idx):
             x_next = carry
-            x = dps[..., idx] - cps[..., idx] * x_next
+            x = dps[..., idx] + cps[..., idx] * x_next
             return x, x
 
         _, xs = jax.lax.scan(
