@@ -1,0 +1,52 @@
+"""Checkpoint/restart roundtrip (SURVEY.md section 5.4): run, export HDF5
+state, load into a fresh solver with load_state, continue, and compare with
+an uninterrupted run."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from thetis_tpu import RectangleMesh, FunctionSpace, Function, solver2d, exp
+
+
+def make_solver(tmpdir, t_end):
+    lx, ly = 40e3, 2e3
+    mesh2d = RectangleMesh(10, 2, lx, ly)
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    bath = Function(P1).assign(20.0)
+    so = solver2d.FlowSolver2d(mesh2d, bath)
+    o = so.options
+    o.timestep = 50.0
+    o.simulation_export_time = 200.0
+    o.simulation_end_time = t_end
+    o.swe_timestepper_type = "CrankNicolson"
+    o.output_directory = str(tmpdir)
+    o.fields_to_export = []
+    o.fields_to_export_hdf5 = ["elev_2d", "uv_2d"]
+    xy = so.function_spaces.P1_2d.dof_coords() if False else None
+    elev0 = Function(P1).interpolate(
+        lambda x, y: 1.0 * np.exp(-(((x - lx / 2) / 6000.0) ** 2))
+    )
+    so.assign_initial_conditions(elev=elev0)
+    return so
+
+
+def test_checkpoint_restart(tmp_path):
+    # uninterrupted run to T=800
+    so_full = make_solver(tmp_path / "full", 800.0)
+    so_full.iterate()
+
+    # run to T=400, then restart from export 2 and continue to T=800
+    so_a = make_solver(tmp_path / "restart", 400.0)
+    so_a.iterate()
+
+    so_b = make_solver(tmp_path / "restart", 800.0)
+    so_b.load_state(2)  # T=400 checkpoint
+    assert so_b.simulation_time == pytest.approx(400.0)
+    so_b.iterate()
+
+    for key in ("elev_2d", "uv_2d"):
+        a = np.asarray(so_full.fields[key].data)
+        b = np.asarray(so_b.fields[key].data)
+        assert np.allclose(a, b, atol=1e-10), (
+            f"{key} differs after restart: {np.abs(a - b).max()}"
+        )

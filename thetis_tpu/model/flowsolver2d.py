@@ -326,7 +326,7 @@ class FlowSolver2d:
                 export_type="npz",
             )
             self.exporters["hdf5"] = ExportManager(
-                o.output_directory + "/hdf5",
+                o.output_directory,
                 o.fields_to_export_hdf5 or ["elev_2d", "uv_2d"],
                 self.fields, export_type="hdf5",
             )
