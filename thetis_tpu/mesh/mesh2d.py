@@ -20,6 +20,8 @@ Boundary facets carry integer markers; ``boundary_len`` mirrors the
 reference's precomputed per-marker boundary lengths
 (``thetis/utility.py:821``, used by 'flux' boundary conditions).
 """
+import os
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -74,44 +76,68 @@ class Mesh2d:
     def _build_facets(self, boundary_markers):
         cells = self.cells_np
         nc = self.nc
-        # edge (cell, local_facet) -> vertex pair along the cell's traversal
-        # local facet i goes from vertex (i+1)%3 to (i+2)%3
-        a = np.stack([cells[:, 1], cells[:, 2], cells[:, 0]], axis=1)  # (nc,3)
-        b = np.stack([cells[:, 2], cells[:, 0], cells[:, 1]], axis=1)
-        lo = np.minimum(a, b).ravel()
-        hi = np.maximum(a, b).ravel()
-        key = lo.astype(np.int64) * self.nv + hi.astype(np.int64)
-        uniq, first_idx, inverse, counts = np.unique(
-            key, return_index=True, return_inverse=True, return_counts=True
-        )
-        nf = len(uniq)
-        self.nf = nf
-        # facet id for each (cell, local) slot
-        cell_facets = inverse.reshape(nc, 3).astype(np.int32)
+        native_tables = None
+        if os.environ.get("THETIS_TPU_NATIVE", "1") != "0":
+            from ..native import build_facets_native
 
-        # side assignment: the slot whose flat index == first_idx is side 0
-        flat_idx = np.arange(nc * 3)
-        is_side0 = first_idx[inverse] == flat_idx
-        cell_sides = np.where(is_side0, 0, 1).reshape(nc, 3).astype(np.int32)
+            native_tables = build_facets_native(cells, self.nv)
+        if native_tables is not None:
+            # C++ graph builder (thetis_tpu/native/meshbuild.cpp)
+            cell_facets = native_tables["cell_facets"]
+            cell_sides = native_tables["cell_sides"]
+            facet_cells = native_tables["facet_cells"]
+            facet_local = native_tables["facet_local"]
+            self.facet_verts_np = native_tables["facet_verts"]
+            is_bnd = native_tables["facet_is_boundary"]
+            self.facet_is_boundary_np = is_bnd
+            nf = len(facet_cells)
+            self.nf = nf
+            av = self.facet_verts_np[:, 0]
+            bv = self.facet_verts_np[:, 1]
+            a = np.stack([cells[:, 1], cells[:, 2], cells[:, 0]], axis=1)
+        else:
+            # vectorised numpy fallback
+            # edge (cell, local_facet) -> vertex pair along the cell's
+            # traversal; local facet i goes from vertex (i+1)%3 to (i+2)%3
+            a = np.stack([cells[:, 1], cells[:, 2], cells[:, 0]], axis=1)
+            b = np.stack([cells[:, 2], cells[:, 0], cells[:, 1]], axis=1)
+            lo = np.minimum(a, b).ravel()
+            hi = np.maximum(a, b).ravel()
+            key = lo.astype(np.int64) * self.nv + hi.astype(np.int64)
+            uniq, first_idx, inverse, counts = np.unique(
+                key, return_index=True, return_inverse=True,
+                return_counts=True
+            )
+            nf = len(uniq)
+            self.nf = nf
+            # facet id for each (cell, local) slot
+            cell_facets = inverse.reshape(nc, 3).astype(np.int32)
 
-        facet_cells = np.zeros((nf, 2), dtype=np.int32)
-        facet_local = np.zeros((nf, 2), dtype=np.int32)
-        slot_cell = np.repeat(np.arange(nc, dtype=np.int32), 3)
-        slot_local = np.tile(np.arange(3, dtype=np.int32), nc)
-        side_flat = cell_sides.ravel()
-        f_flat = cell_facets.ravel()
-        facet_cells[f_flat, side_flat] = slot_cell
-        facet_local[f_flat, side_flat] = slot_local
-        # boundary facets: side1 mirrors side0
-        is_bnd = counts == 1
-        facet_cells[is_bnd, 1] = facet_cells[is_bnd, 0]
-        facet_local[is_bnd, 1] = facet_local[is_bnd, 0]
-        self.facet_is_boundary_np = is_bnd
+            # side assignment: the slot at first_idx is side 0
+            flat_idx = np.arange(nc * 3)
+            is_side0 = first_idx[inverse] == flat_idx
+            cell_sides = np.where(is_side0, 0, 1).reshape(nc, 3).astype(
+                np.int32
+            )
 
-        # side-0 traversal defines the facet parameterisation
-        av = a.ravel()[first_idx]  # start vertex of side-0 traversal
-        bv = b.ravel()[first_idx]
-        self.facet_verts_np = np.stack([av, bv], axis=1).astype(np.int32)
+            facet_cells = np.zeros((nf, 2), dtype=np.int32)
+            facet_local = np.zeros((nf, 2), dtype=np.int32)
+            slot_cell = np.repeat(np.arange(nc, dtype=np.int32), 3)
+            slot_local = np.tile(np.arange(3, dtype=np.int32), nc)
+            side_flat = cell_sides.ravel()
+            f_flat = cell_facets.ravel()
+            facet_cells[f_flat, side_flat] = slot_cell
+            facet_local[f_flat, side_flat] = slot_local
+            # boundary facets: side1 mirrors side0
+            is_bnd = counts == 1
+            facet_cells[is_bnd, 1] = facet_cells[is_bnd, 0]
+            facet_local[is_bnd, 1] = facet_local[is_bnd, 0]
+            self.facet_is_boundary_np = is_bnd
+
+            # side-0 traversal defines the facet parameterisation
+            av = a.ravel()[first_idx]
+            bv = b.ravel()[first_idx]
+            self.facet_verts_np = np.stack([av, bv], axis=1).astype(np.int32)
 
         # variants: side0 = forward; side1 forward iff its traversal matches
         a1 = a[facet_cells[:, 1], facet_local[:, 1]]
