@@ -1,0 +1,457 @@
+r"""FlowSolver — the 3D baroclinic solver.
+
+Mirrors the reference's ``thetis/solver.py`` (``FlowSolver``) and the
+coupled mode-split integrator (``coupled_timeintegrator.py``): a 2D
+barotropic mode (SWE) coupled to 3D momentum (deviation velocity),
+salinity/temperature transport, EOS/baroclinic pressure, vertical implicit
+mixing and the GLS turbulence closure on a sigma-layer ALE mesh.
+
+Round-1 scope and simplifications (documented against the reference):
+  * single shared dt (the reference supports mode-split subcycling with
+    ratio M, ``solver.py:371-398``); the 2D mode is advanced implicitly so
+    this is stable,
+  * the 2D<->3D coupling source is the depth average of the internal
+    pressure gradient (the reference depth-averages the full 3D momentum
+    residual, ``coupled_timeintegrator.py:43-58``),
+  * per-step sequence follows ``CoupledTwoStageRK.advance``
+    (ref L620-710): 2D solve -> ALE geometry -> 3D advection stages ->
+    depth-average coupling -> implicit vertical mixing -> baroclinicity ->
+    vertical velocity -> turbulence.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import physical_constants
+from ..fem.assembly import DGAssembler
+from ..fem.assembly3d import Assembler3D
+from ..fem.functionspace import FunctionSpace, Function
+from ..mesh.extruded import ExtrudedMesh
+from ..equations.shallowwater_2d import ShallowWaterEquations
+from ..equations.tracer_3d import TracerEquation3D
+from ..equations.momentum_3d import (
+    MomentumEquation3D,
+    vertical_viscosity_implicit,
+)
+from ..equations.utility3d import (
+    VerticalVelocitySolver,
+    DensitySolver,
+    BaroclinicHeadCalculator,
+    SmagorinskyViscosity,
+    expand_function_to_3d,
+)
+from ..equations.eos import LinearEquationOfState, JackettEquationOfState
+from ..equations.turbulence import GenericLengthScaleModel, GLSModelOptions
+from ..timeintegration.steppers import CrankNicolson
+from ..solvers.newton import NewtonParameters
+from ..utils.log import print_output
+from .options import ModelOptions2d
+from .field_defs import FieldDict
+
+__all__ = ["FlowSolver"]
+
+
+class ModelOptions3d(ModelOptions2d):
+    """3D options: the 2D set plus the solver.py-specific switches
+    (ref ``options.py:1067-1181``)."""
+
+    def __init__(self):
+        super().__init__()
+        for k, v in dict(
+            solve_salinity=True,
+            solve_temperature=True,
+            use_implicit_vertical_diffusion=True,
+            use_bottom_friction=True,
+            use_turbulence=False,
+            use_smagorinsky_viscosity=False,
+            smagorinsky_coefficient=0.1,
+            use_limiter_for_velocity=False,
+            use_baroclinic_formulation=True,
+            equation_of_state_type="linear",
+            constant_temperature=10.0,
+            constant_salinity=35.0,
+            vertical_viscosity=1e-4,
+            vertical_diffusivity=1e-5,
+            bottom_roughness=0.005,
+            turbulence_model_options=None,
+        ).items():
+            object.__setattr__(self, k, v)
+        self._freeze()
+
+
+class FlowSolver:
+    """ref ``solver.py:25-1341`` (round-1 subset)."""
+
+    def __init__(self, mesh2d, bathymetry_2d, n_layers, options=None):
+        self.mesh2d = mesh2d
+        self.n_layers = int(n_layers)
+        self.options = ModelOptions3d()
+        if options is not None:
+            self.options.update(options)
+        self.bathymetry_input = bathymetry_2d
+        self.simulation_time = 0.0
+        self.iteration = 0
+        self.i_export = 0
+        self._initialized = False
+
+    # ------------------------------------------------------------------
+    def create_function_spaces(self):
+        mesh = self.mesh2d
+        self.function_spaces = type("FS", (), {})()
+        fs = self.function_spaces
+        fs.P1_2d = FunctionSpace(mesh, "CG", 1)
+        fs.H_2d = FunctionSpace(mesh, "DG", 1)
+        fs.U_2d = FunctionSpace(mesh, "DG", 1, dim=2)
+        self.asm = DGAssembler(mesh, fs.H_2d)
+        self.extruded = ExtrudedMesh(mesh, self.n_layers)
+        self.asm3d = Assembler3D(mesh, self.asm, self.extruded)
+
+    def create_fields(self):
+        if not hasattr(self, "function_spaces"):
+            self.create_function_spaces()
+        mesh, nz = self.mesh2d, self.n_layers
+        o = self.options
+        b = self.bathymetry_input
+        bdata = b.data if isinstance(b, Function) else jnp.asarray(b)
+        if bdata.ndim == 0:
+            bathy_cell = jnp.full((mesh.nc, 3), float(bdata))
+        elif bdata.shape[:1] == (mesh.nv,):
+            bathy_cell = bdata[mesh.cells]
+        else:
+            bathy_cell = bdata
+        self.bathy_cell = bathy_cell
+        self.fields = FieldDict()
+        f = self.fields
+        f.elev_2d = Function(self.function_spaces.H_2d)
+        f.uv_2d = Function(self.function_spaces.U_2d)
+        shape3 = (mesh.nc, 3, nz, 2)
+        self.shape3 = shape3
+        f.uv_3d = Function(self.function_spaces.H_2d, data=jnp.zeros(shape3 + (2,)))
+        f.w_3d = Function(self.function_spaces.H_2d, data=jnp.zeros(shape3))
+        f.salt_3d = Function(self.function_spaces.H_2d,
+                             data=jnp.full(shape3, float(o.constant_salinity)))
+        f.temp_3d = Function(self.function_spaces.H_2d,
+                             data=jnp.full(shape3, float(o.constant_temperature)))
+        f.density_3d = Function(self.function_spaces.H_2d, data=jnp.zeros(shape3))
+        f.tke_3d = Function(self.function_spaces.H_2d, data=jnp.full(shape3, 1e-6))
+        f.psi_3d = Function(self.function_spaces.H_2d, data=jnp.full(shape3, 1e-14))
+
+    def create_equations(self):
+        if not hasattr(self, "fields"):
+            self.create_fields()
+        o = self.options
+        self.eq_sw = ShallowWaterEquations(
+            self.mesh2d, self.asm, o, bathymetry=self._bathy_for_2d(),
+            bnd_conditions=getattr(self, "bnd_functions", {}).get(
+                "shallow_water", {}
+            ),
+        )
+        self.depth = self.eq_sw.depth
+        self.eq_momentum = MomentumEquation3D(self.mesh2d, self.asm3d, o)
+        self.eq_salt = TracerEquation3D(self.mesh2d, self.asm3d, o,
+                                        label="salt_3d")
+        self.eq_temp = TracerEquation3D(self.mesh2d, self.asm3d, o,
+                                        label="temp_3d")
+        if o.equation_of_state_type == "full":
+            self.equation_of_state = JackettEquationOfState()
+        else:
+            self.equation_of_state = LinearEquationOfState()
+        self.density_solver = DensitySolver(self.equation_of_state)
+        self.bhc = BaroclinicHeadCalculator(self.asm3d)
+        self.w_solver = VerticalVelocitySolver(self.asm3d, self.bathy_cell)
+        if o.use_smagorinsky_viscosity:
+            self.smagorinsky = SmagorinskyViscosity(
+                self.asm3d, cs=float(o.smagorinsky_coefficient)
+            )
+        if o.use_turbulence:
+            self.gls = GenericLengthScaleModel(
+                self.asm3d, o.turbulence_model_options or GLSModelOptions()
+            )
+
+    def _bathy_for_2d(self):
+        b = self.bathymetry_input
+        if isinstance(b, Function):
+            return b.data
+        return jnp.asarray(b)
+
+    # ------------------------------------------------------------------
+    def initialize(self):
+        self.create_equations()
+        o = self.options
+        self.dt = float(o.timestep)
+        swe_params = NewtonParameters()
+        self.swe_stepper = CrankNicolson(
+            self.eq_sw, self.dt, semi_implicit=True,
+            solver_parameters=swe_params,
+        )
+        self._build_step()
+        self._initialized = True
+
+    def assign_initial_conditions(self, elev=None, uv=None, salt=None,
+                                  temp=None, uv_3d=None):
+        if not self._initialized:
+            self.initialize()
+        f = self.fields
+
+        def to3(v):
+            v = v.data if isinstance(v, Function) else jnp.asarray(v)
+            if v.ndim == 0:
+                return jnp.full(self.shape3, float(v))
+            if v.shape == self.shape3:
+                return v
+            if v.shape[:1] == (self.mesh2d.nv,):
+                return expand_function_to_3d(v[self.mesh2d.cells],
+                                             self.n_layers)
+            if v.shape[:2] == (self.mesh2d.nc, 3) and v.ndim == 2:
+                return expand_function_to_3d(v, self.n_layers)
+            raise ValueError(f"cannot map IC of shape {v.shape}")
+
+        if elev is not None:
+            e = elev.data if isinstance(elev, Function) else jnp.asarray(elev)
+            if e.ndim == 0:
+                e = jnp.full((self.mesh2d.nc, 3), float(e))
+            elif e.shape[:1] == (self.mesh2d.nv,):
+                e = e[self.mesh2d.cells]
+            f.elev_2d.data = e
+        if uv is not None:
+            u = uv.data if isinstance(uv, Function) else jnp.asarray(uv)
+            f.uv_2d.data = jnp.broadcast_to(
+                u, (self.mesh2d.nc, 3, 2)
+            ).astype(f.uv_2d.data.dtype)
+        if salt is not None:
+            f.salt_3d.data = to3(salt)
+        if temp is not None:
+            f.temp_3d.data = to3(temp)
+        if uv_3d is not None:
+            f.uv_3d.data = uv_3d
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        o = self.options
+        dt = self.dt
+        asm3d = self.asm3d
+        ext = self.extruded
+        bathy_cell = self.bathy_cell
+        eq_mom = self.eq_momentum
+        eq_salt = self.eq_salt
+        eq_temp = self.eq_temp
+        swe_stepper = self.swe_stepper
+        density_solver = self.density_solver
+        bhc = self.bhc
+        w_solver = self.w_solver
+        rho0 = physical_constants["rho0"]
+        nu_v0 = float(o.vertical_viscosity)
+        mu_v0 = float(o.vertical_diffusivity)
+        use_turb = o.use_turbulence
+        gls = getattr(self, "gls", None)
+        solve_salt = o.solve_salinity
+        solve_temp = o.solve_temperature
+        Cd_bot = 2.5e-3 if o.use_bottom_friction else None
+
+        def geometry(elev):
+            z = ext.z_interfaces(bathy_cell, elev)
+            return asm3d.layer_geometry(z)
+
+        def baroclinicity(state, geom):
+            """density -> baroclinic head -> int_pg
+            (ref ``coupled_timeintegrator.py:60-66``)."""
+            rho = density_solver.solve(state["salt_3d"], state["temp_3d"])
+            r_head = bhc.compute_head(rho, geom)
+            int_pg = bhc.compute_int_pg(r_head, geom)
+            return rho, int_pg
+
+        def rk2_stage(eq, key, sol3, fields, geom):
+            """SSPRK22 on a 3D equation (ref CoupledTwoStageRK)."""
+            r1 = eq.residual("all", sol3, sol3, fields, fields, {}, geom=geom)
+            k1 = eq.mass_inverse(r1, geom)[key]
+            mid = {key: sol3[key] + dt * k1}
+            r2 = eq.residual("all", mid, mid, fields, fields, {}, geom=geom)
+            k2 = eq.mass_inverse(r2, geom)[key]
+            return sol3[key] + 0.5 * dt * (k1 + k2)
+
+        def step(state, swe_fields, bnd_sw):
+            # --- 1. barotropic (2D) solve, incl. the depth-averaged
+            # baroclinic forcing from the previous step's int_pg
+            geom0 = geometry(state["elev"])
+            if o.use_baroclinic_formulation:
+                rho, int_pg = baroclinicity(state, geom0)
+                ipg_dav = asm3d.vertical_integral(int_pg, geom0, average=True)
+                swe_fields = dict(swe_fields)
+                # 2D sees the depth-averaged internal pressure gradient
+                swe_fields["momentum_source"] = ipg_dav
+            else:
+                int_pg = None
+            sw = {"uv": state["uv"], "elev": state["elev"]}
+            sw = swe_stepper.advance(0.0, sw, swe_fields, swe_fields, bnd_sw)
+
+            # --- 2. ALE: new geometry from the updated elevation
+            geom = geometry(sw["elev"])
+
+            # --- 3. 3D velocity: total = deviation + expanded 2D
+            uv_total = state["uv_3d"] + expand_function_to_3d(
+                sw["uv"], ext.nz
+            )
+            fields3 = {
+                "w_3d": state["w_3d"],
+                "int_pg_3d": int_pg,
+                "coriolis": swe_fields.get("coriolis"),
+                "viscosity_h": swe_fields.get("viscosity_h"),
+            }
+            fields3 = {k: v for k, v in fields3.items() if v is not None}
+            mom_sol = {"uv_3d": uv_total}
+            uv_new = rk2_stage(eq_mom, "uv_3d", mom_sol, fields3, geom)
+
+            # --- 4. tracers (T/S) advected by the *total* velocity
+            tr_fields = {"uv_3d": uv_total, "w_3d": state["w_3d"],
+                         "diffusivity_h": swe_fields.get("diffusivity_h"),
+                         "diffusivity_v": mu_v0}
+            tr_fields = {k: v for k, v in tr_fields.items() if v is not None}
+            new_state = dict(state)
+            if solve_salt:
+                new_state["salt_3d"] = rk2_stage(
+                    eq_salt, "salt_3d", {"salt_3d": state["salt_3d"]},
+                    tr_fields, geom,
+                )
+            if solve_temp:
+                new_state["temp_3d"] = rk2_stage(
+                    eq_temp, "temp_3d", {"temp_3d": state["temp_3d"]},
+                    tr_fields, geom,
+                )
+
+            # --- 5. turbulence closure and vertical mixing
+            Dn = geom["Delta_nodes"]
+            if use_turb:
+                rho_new = density_solver.solve(
+                    new_state["salt_3d"], new_state["temp_3d"]
+                )
+                m2, n2 = gls.compute_shear_buoy_freq(uv_new, rho_new, geom)
+                nu_v, mu_v, _, _ = gls.eddy_coefficients(
+                    state["tke_3d"], state["psi_3d"], m2, n2
+                )
+                k_new, psi_new = gls.step_columns(
+                    state["tke_3d"], state["psi_3d"], m2, n2, nu_v, mu_v,
+                    Dn, dt,
+                )
+                new_state["tke_3d"] = k_new
+                new_state["psi_3d"] = psi_new
+                nu_col = nu_v + nu_v0
+                mu_col = mu_v + mu_v0
+            else:
+                nu_col = jnp.full_like(new_state["salt_3d"], nu_v0)
+                mu_col = jnp.full_like(new_state["salt_3d"], mu_v0)
+            if o.use_implicit_vertical_diffusion:
+                uv_new = vertical_viscosity_implicit(
+                    uv_new, nu_col, Dn, dt,
+                    bottom_drag=Cd_bot,
+                    uv_bot=uv_new[:, :, 0, 0] if Cd_bot else None,
+                )
+                # implicit vertical diffusion of tracers
+                from ..equations.turbulence import GenericLengthScaleModel as _G
+                solver = _G.__new__(_G)
+                if solve_salt:
+                    new_state["salt_3d"] = solver._vdiff_implicit(
+                        new_state["salt_3d"], mu_col, Dn, dt
+                    )
+                if solve_temp:
+                    new_state["temp_3d"] = solver._vdiff_implicit(
+                        new_state["temp_3d"], mu_col, Dn, dt
+                    )
+
+            # --- 6. 2D<->3D coupling: remove the depth average, the 2D
+            # solution carries it (ref _update_2d_coupling L43-58)
+            uv_dav = asm3d.vertical_integral(uv_new, geom, average=True)
+            uv_dev = uv_new - expand_function_to_3d(uv_dav, ext.nz)
+            new_state["uv_3d"] = uv_dev
+            new_state["uv"] = sw["uv"]
+            new_state["elev"] = sw["elev"]
+
+            # --- 7. diagnostic vertical velocity from the total transport
+            new_state["w_3d"] = w_solver.solve(
+                uv_dev + expand_function_to_3d(sw["uv"], ext.nz), geom
+            )
+            return new_state
+
+        self._step = step
+        self._step_jit = jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def _get_state(self):
+        f = self.fields
+        return {
+            "uv": f.uv_2d.data, "elev": f.elev_2d.data,
+            "uv_3d": f.uv_3d.data, "w_3d": f.w_3d.data,
+            "salt_3d": f.salt_3d.data, "temp_3d": f.temp_3d.data,
+            "tke_3d": f.tke_3d.data, "psi_3d": f.psi_3d.data,
+        }
+
+    def _set_state(self, s):
+        f = self.fields
+        f.uv_2d.data = s["uv"]
+        f.elev_2d.data = s["elev"]
+        f.uv_3d.data = s["uv_3d"]
+        f.w_3d.data = s["w_3d"]
+        f.salt_3d.data = s["salt_3d"]
+        f.temp_3d.data = s["temp_3d"]
+        f.tke_3d.data = s["tke_3d"]
+        f.psi_3d.data = s["psi_3d"]
+
+    def _gather_swe_fields(self):
+        o = self.options
+        out = {"lax_friedrichs_velocity_scaling_factor": jnp.asarray(
+            float(o.lax_friedrichs_velocity_scaling_factor)
+        )}
+        if o.coriolis_frequency is not None:
+            v = o.coriolis_frequency
+            out["coriolis"] = v.data if isinstance(v, Function) else jnp.asarray(v)
+        if o.horizontal_viscosity is not None:
+            v = o.horizontal_viscosity
+            out["viscosity_h"] = (
+                v.data if isinstance(v, Function) else jnp.asarray(float(v))
+            )
+        if o.horizontal_diffusivity is not None:
+            out["diffusivity_h"] = jnp.asarray(float(o.horizontal_diffusivity))
+        if o.quadratic_drag_coefficient is not None:
+            out["quadratic_drag_coefficient"] = jnp.asarray(
+                float(o.quadratic_drag_coefficient)
+            )
+        return out
+
+    def iterate(self, update_forcings=None, export_func=None):
+        if not self._initialized:
+            self.initialize()
+        o = self.options
+        state = self._get_state()
+        swe_fields = self._gather_swe_fields()
+        bnd_sw = {}
+        next_export = self.simulation_time + o.simulation_export_time
+        self._print_state(state)
+        while self.simulation_time <= o.simulation_end_time - 1e-5:
+            if update_forcings is not None:
+                update_forcings(self.simulation_time + self.dt)
+                swe_fields = self._gather_swe_fields()
+            state = self._step_jit(state, swe_fields, bnd_sw)
+            self.iteration += 1
+            self.simulation_time += self.dt
+            if self.simulation_time >= next_export - 1e-5:
+                self.i_export += 1
+                next_export += o.simulation_export_time
+                self._set_state(state)
+                self._print_state(state)
+                if export_func is not None:
+                    export_func()
+        self._set_state(state)
+
+    def _print_state(self, state):
+        asm = self.asm
+        e = float(asm.norm_l2(state["elev"]))
+        u2 = float(asm.norm_l2(state["uv"]))
+        u3 = float(jnp.sqrt((state["uv_3d"] ** 2).sum()))
+        s_rng = (float(state["salt_3d"].min()), float(state["salt_3d"].max()))
+        t_rng = (float(state["temp_3d"].min()), float(state["temp_3d"].max()))
+        print_output(
+            f"{self.i_export:5d} {self.iteration:5d} "
+            f"T={self.simulation_time:10.2f} eta norm: {e:10.4f} "
+            f"u norm: {u2:10.4f} u3 norm: {u3:10.4f} "
+            f"salt: {s_rng[0]:.3f}..{s_rng[1]:.3f} "
+            f"temp: {t_rng[0]:.3f}..{t_rng[1]:.3f}"
+        )
