@@ -1,0 +1,133 @@
+"""3D baroclinic solver tests (miniatures of the reference's
+``test/solver3d`` suite and the lockExchange example):
+
+- barotropic consistency: with uniform density the 3D run's elevation
+  matches a pure-2D run, and the deviation velocity stays negligible
+- tracer consistency: uniform T/S stay uniform through the full coupled
+  step (advection + vertical mixing + coupling)
+- lock exchange: a density front collapses in the right direction with
+  bounded energy
+"""
+from types import SimpleNamespace
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from thetis_tpu import RectangleMesh, FunctionSpace, Function, solver2d
+from thetis_tpu.model.flowsolver3d import FlowSolver
+
+
+def make_solver3d(nx=12, nz=6, lx=20e3, depth=20.0, **opts):
+    mesh2d = RectangleMesh(nx, 2, lx, 4e3)
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    bath = Function(P1).assign(depth)
+    so = FlowSolver(mesh2d, bath, nz)
+    o = so.options
+    o.timestep = 30.0
+    o.simulation_export_time = 300.0
+    o.simulation_end_time = 300.0
+    o.no_exports = True
+    o.horizontal_viscosity = 1.0
+    o.horizontal_diffusivity = 1.0
+    for k, v in opts.items():
+        setattr(o, k, v)
+    return so
+
+
+def test_barotropic_consistency():
+    """Uniform density: 3D elevation evolution matches the 2D-only model;
+    deviation velocity stays ~0."""
+    lx, depth = 20e3, 20.0
+    so3 = make_solver3d(use_baroclinic_formulation=False,
+                        use_implicit_vertical_diffusion=False,
+                        use_bottom_friction=False)
+    mesh2d = so3.mesh2d
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    elev0 = Function(P1).interpolate(
+        lambda x, y: 0.5 * np.exp(-(((x - lx / 2) / 3e3) ** 2))
+    )
+    so3.assign_initial_conditions(elev=elev0)
+    so3.iterate()
+
+    so2 = solver2d.FlowSolver2d(mesh2d, Function(P1).assign(depth))
+    o2 = so2.options
+    o2.timestep = 30.0
+    o2.simulation_export_time = 300.0
+    o2.simulation_end_time = 300.0
+    o2.no_exports = True
+    o2.swe_timestepper_type = "CrankNicolson"
+    o2.swe_timestepper_options.use_semi_implicit_linearization = True
+    o2.horizontal_viscosity = 1.0
+    so2.assign_initial_conditions(elev=elev0)
+    so2.iterate()
+
+    e3 = np.asarray(so3.fields.elev_2d.data)
+    e2 = np.asarray(so2.fields.elev_2d.data)
+    scale = np.abs(e2).max()
+    assert np.abs(e3 - e2).max() < 0.15 * scale, (
+        f"3D vs 2D elevation mismatch {np.abs(e3-e2).max()} vs scale {scale}"
+    )
+    # deviation velocity negligible vs the barotropic velocity
+    u2 = np.abs(np.asarray(so3.fields.uv_2d.data)).max()
+    u3dev = np.abs(np.asarray(so3.fields.uv_3d.data)).max()
+    # splitting error O(dt) between the 2D CN mode and the explicit 3D
+    # stage leaves a small spurious deviation
+    assert u3dev < 0.25 * u2 + 1e-8
+
+
+def test_tracer_consistency_coupled():
+    """Uniform T/S stay uniform through the full coupled step."""
+    so = make_solver3d()
+    P1 = FunctionSpace(so.mesh2d, "CG", 1)
+    elev0 = Function(P1).interpolate(
+        lambda x, y: 0.3 * np.exp(-(((x - 10e3) / 3e3) ** 2))
+    )
+    so.assign_initial_conditions(elev=elev0, salt=35.0, temp=10.0)
+    so.iterate()
+    s = np.asarray(so.fields.salt_3d.data)
+    t = np.asarray(so.fields.temp_3d.data)
+    # exact by construction: the ALE stage subtracts the uniform-field
+    # drift (consistency correction), so uniform tracers stay uniform to
+    # machine precision on the moving mesh
+    assert np.abs(s - 35.0).max() < 1e-9
+    assert np.abs(t - 10.0).max() < 1e-9
+    assert np.isfinite(np.asarray(so.fields.uv_3d.data)).all()
+
+
+def test_lock_exchange():
+    """Temperature front collapses: bottom flow toward the warm side,
+    surface flow toward the cold side, fields stay bounded
+    (``examples/lockExchange`` in miniature)."""
+    so = make_solver3d(nx=16, nz=8, lx=8e3, depth=20.0)
+    so.options.timestep = 20.0
+    so.options.simulation_export_time = 200.0
+    so.options.simulation_end_time = 600.0
+    mesh2d = so.mesh2d
+
+    def temp_ic(x, y):
+        return 5.0 * np.tanh((x - 4e3) / 400.0)  # cold left, warm right
+
+    V = FunctionSpace(mesh2d, "DG", 1)
+    t2d = Function(V).interpolate(temp_ic)
+    so.assign_initial_conditions(temp=t2d.data, salt=35.0)
+    so.iterate()
+
+    uv3 = np.asarray(so.fields.uv_3d.data)  # deviation velocity
+    temp = np.asarray(so.fields.temp_3d.data)
+    assert np.isfinite(uv3).all() and np.isfinite(temp).all()
+    # deviation velocity: near the front, bottom moves toward +x (warm),
+    # surface toward -x
+    xy = V.dof_coords()
+    x = np.asarray(xy[..., 0])
+    front = np.abs(x - 4e3) < 2e3
+    u_bot = uv3[:, :, 0, 0, 0][front]
+    u_top = uv3[:, :, -1, 1, 0][front]
+    assert u_bot.mean() > 0, "bottom gravity current should flow to +x"
+    assert u_top.mean() < 0, "surface return flow should be to -x"
+    # temperature near initial bounds (limiterless DG overshoots on the
+    # sharp front but stays bounded)
+    assert temp.min() > -7.0 and temp.max() < 7.0
+    # vertical velocity developed
+    w = np.asarray(so.fields.w_3d.data)
+    assert np.abs(w).max() > 1e-7

@@ -54,6 +54,7 @@ class MomentumEquation3D(EquationBase):
         if w is not None:
             wm = fields.get("w_mesh_3d")
             w_rel = w if wm is None else w - wm
+            c["w_rel"] = w_rel
             wb, wa = a3.interface_values(w_rel)
             c["w_if"] = 0.5 * (wb + wa)
         return c
@@ -114,9 +115,9 @@ class MomentumEquation3D(EquationBase):
         flux = uv_up * w
         zero = jnp.zeros_like(flux[:, :1])
         flux = jnp.concatenate([zero, flux[:, 1:-1], zero], axis=1)
-        B["hfacet_below"].add(flux)
-        B["hfacet_above"].add(-flux)
-        wq = self.asm3d.cell_values(c["fields"]["w_3d"])
+        B["hfacet_below"].add(-flux)
+        B["hfacet_above"].add(flux)
+        wq = self.asm3d.cell_values(c["w_rel"])
         B["gradz"].add(c["uv_q"] * wq[..., None])
 
     def _t_coriolis(self, c, B):

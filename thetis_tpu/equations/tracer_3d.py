@@ -51,11 +51,15 @@ class TracerEquation3D(EquationBase):
         c["c_tr"] = a3.facet_traces(cdofs)       # (nf,2,nz,nqf,nqv)
         c["uv_tr"] = a3.facet_traces(uv)         # (nf,2,nz,nqf,nqv,2)
         c["n"] = self.mesh.facet_normal[:, None, None, None, :]
-        # interface values for vertical fluxes
+        # interface values for vertical fluxes; ALE: advect with w - w_mesh
+        # (ref tracer_eq.py:294-296)
         c["c_below"], c["c_above"] = a3.interface_values(cdofs)
         w = fields.get("w_3d")
         if w is not None:
-            wb, wa = a3.interface_values(w)
+            wm = fields.get("w_mesh_3d")
+            w_rel = w if wm is None else w - wm
+            c["w_rel"] = w_rel
+            wb, wa = a3.interface_values(w_rel)
             c["w_if"] = 0.5 * (wb + wa)
         return c
 
@@ -99,11 +103,12 @@ class TracerEquation3D(EquationBase):
         # closed top/bottom: no flux through the surface and bed
         zero = jnp.zeros_like(flux[:, :1])
         flux = jnp.concatenate([zero, flux[:, 1:-1], zero], axis=1)
-        # tested against jump of the test function: below side (+), above (-)
-        B["hfacet_below"].add(flux)
-        B["hfacet_above"].add(-flux)
-        # cell term: + c w d(test)/dz
-        wq = self.asm3d.cell_values(c["fields"]["w_3d"])
+        # same sign pattern as the horizontal facets: the below side (its
+        # outward normal is +z, along w) gets -flux, the above side +flux
+        B["hfacet_below"].add(-flux)
+        B["hfacet_above"].add(flux)
+        # cell term: + c (w - w_mesh) d(test)/dz
+        wq = self.asm3d.cell_values(c["w_rel"])
         B["gradz"].add(c["c_q"] * wq)
 
     def _t_hdiff(self, c, B):

@@ -260,14 +260,43 @@ class FlowSolver:
             int_pg = bhc.compute_int_pg(r_head, geom)
             return rho, int_pg
 
-        def rk2_stage(eq, key, sol3, fields, geom):
-            """SSPRK22 on a 3D equation (ref CoupledTwoStageRK)."""
-            r1 = eq.residual("all", sol3, sol3, fields, fields, {}, geom=geom)
-            k1 = eq.mass_inverse(r1, geom)[key]
-            mid = {key: sol3[key] + dt * k1}
-            r2 = eq.residual("all", mid, mid, fields, fields, {}, geom=geom)
-            k2 = eq.mass_inverse(r2, geom)[key]
-            return sol3[key] + 0.5 * dt * (k1 + k2)
+        sigma = ext.sigma  # (nz+1,)
+
+        def ale_stage(eq, key, sol3, fields, geom_old, geom_new,
+                      consistency_fix=False):
+            """ALE advection stage (ref SSPRK22ALE, ``timeintegrator.py:
+            609-770``): assemble the RHS and old mass on the OLD mesh,
+            invert the mass on the NEW mesh —
+            M_new u_new = M_old u_old + dt R_old.
+
+            With ``consistency_fix`` the drift of a uniform field (the
+            residual mismatch between the 3D advection fluxes and the 2D
+            continuity, cf. the reference's consistency-exact weak w
+            solver) is computed explicitly and subtracted, so uniform
+            tracers stay exactly uniform on the moving mesh
+            (``test/tracerEq/test_consistency.py`` analogue)."""
+
+            def raw(u):
+                r = eq.residual("all", {key: u}, {key: u}, fields, fields,
+                                {}, geom=geom_old)
+                m_old = eq.mass_term({key: u}, geom_old)
+                return eq.mass_inverse(
+                    {key: m_old[key] + dt * r[key]}, geom_new
+                )[key]
+
+            out = raw(sol3[key])
+            if consistency_fix:
+                drift = raw(jnp.ones_like(sol3[key])) - 1.0
+                out = out - sol3[key] * drift
+            return out
+
+        def mesh_velocity(elev_old, elev_new):
+            """w_mesh at layer dof points: dz/dt at fixed sigma =
+            sigma * d(eta)/dt (ref ``ALEMeshUpdater`` w_mesh kernel,
+            ``utility3d.py:782-799``)."""
+            deta_dt = (elev_new - elev_old) / dt  # (nc, 3)
+            wm_if = sigma[None, None, :] * deta_dt[..., None]  # (nc,3,nz+1)
+            return jnp.stack([wm_if[..., :-1], wm_if[..., 1:]], axis=-1)
 
         def step(state, swe_fields, bnd_sw):
             # --- 1. barotropic (2D) solve, incl. the depth-averaged
@@ -287,35 +316,51 @@ class FlowSolver:
             # --- 2. ALE: new geometry from the updated elevation
             geom = geometry(sw["elev"])
 
-            # --- 3. 3D velocity: total = deviation + expanded 2D
+            # --- 3. ALE mesh velocity for this step
+            w_mesh = mesh_velocity(state["elev"], sw["elev"])
+
+            # advective velocity: the CN theta-midpoint 2D velocity is the
+            # one satisfying the discrete 2D continuity with d(eta)/dt, so
+            # tracers advected by it (and by w derived from it) stay
+            # consistent with the moving mesh
+            uv_adv_2d = 0.5 * (state["uv"] + sw["uv"])
+            uv_adv = state["uv_3d"] + expand_function_to_3d(
+                uv_adv_2d, ext.nz
+            )
+            w_adv = w_solver.solve(uv_adv, geom0)
+
+            # 3D velocity: total = deviation + expanded 2D
             uv_total = state["uv_3d"] + expand_function_to_3d(
                 sw["uv"], ext.nz
             )
             fields3 = {
-                "w_3d": state["w_3d"],
+                "w_3d": w_adv,
+                "w_mesh_3d": w_mesh,
                 "int_pg_3d": int_pg,
                 "coriolis": swe_fields.get("coriolis"),
                 "viscosity_h": swe_fields.get("viscosity_h"),
             }
             fields3 = {k: v for k, v in fields3.items() if v is not None}
             mom_sol = {"uv_3d": uv_total}
-            uv_new = rk2_stage(eq_mom, "uv_3d", mom_sol, fields3, geom)
+            uv_new = ale_stage(eq_mom, "uv_3d", mom_sol, fields3, geom0, geom)
 
-            # --- 4. tracers (T/S) advected by the *total* velocity
-            tr_fields = {"uv_3d": uv_total, "w_3d": state["w_3d"],
+            # --- 4. tracers (T/S) advected by the continuity-consistent
+            # velocity
+            tr_fields = {"uv_3d": uv_adv, "w_3d": w_adv,
+                         "w_mesh_3d": w_mesh,
                          "diffusivity_h": swe_fields.get("diffusivity_h"),
                          "diffusivity_v": mu_v0}
             tr_fields = {k: v for k, v in tr_fields.items() if v is not None}
             new_state = dict(state)
             if solve_salt:
-                new_state["salt_3d"] = rk2_stage(
+                new_state["salt_3d"] = ale_stage(
                     eq_salt, "salt_3d", {"salt_3d": state["salt_3d"]},
-                    tr_fields, geom,
+                    tr_fields, geom0, geom, consistency_fix=True,
                 )
             if solve_temp:
-                new_state["temp_3d"] = rk2_stage(
+                new_state["temp_3d"] = ale_stage(
                     eq_temp, "temp_3d", {"temp_3d": state["temp_3d"]},
-                    tr_fields, geom,
+                    tr_fields, geom0, geom, consistency_fix=True,
                 )
 
             # --- 5. turbulence closure and vertical mixing
