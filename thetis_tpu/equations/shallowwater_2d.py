@@ -657,21 +657,26 @@ class ShallowWaterEquations(EquationBase):
                 r_uv += asm.grad_to_dofs(ug)
             else:
                 r_eta += asm.grad_to_dofs(eg)
-        if B["uv_facet"] or B["eta_facet"]:
+        if B["uv_facet"] or B["eta_facet"] or B["uv_fgrad"]:
             uf = B["uv_facet"].val if B["uv_facet"] else None
             ef = B["eta_facet"].val if B["eta_facet"] else None
+            fg = B["uv_fgrad"].val if B["uv_fgrad"] else None
             if uf is not None and ef is not None:
-                rr = asm.facet_to_dofs(
-                    jnp.concatenate([uf, ef[..., None]], axis=-1)
-                )
+                packed = jnp.concatenate([uf, ef[..., None]], axis=-1)
+                if fg is not None:
+                    # single shared cell gather for facet + fgrad paths
+                    rr = asm.facet_fgrad_to_dofs(packed, fg)
+                else:
+                    rr = asm.facet_to_dofs(packed)
                 r_uv += rr[..., 0:2]
                 r_eta += rr[..., 2]
-            elif uf is not None:
-                r_uv += asm.facet_to_dofs(uf)
             else:
-                r_eta += asm.facet_to_dofs(ef)
-        if B["uv_fgrad"]:
-            r_uv += asm.fgrad_to_dofs(B["uv_fgrad"].val)
+                if uf is not None:
+                    r_uv += asm.facet_to_dofs(uf)
+                if ef is not None:
+                    r_eta += asm.facet_to_dofs(ef)
+                if fg is not None:
+                    r_uv += asm.fgrad_to_dofs(fg)
         return swe_state(r_uv, r_eta)
 
     def mass_term(self, solution):

@@ -327,9 +327,12 @@ class TracerEquation2D(EquationBase):
                 r += asm.cell_to_dofs(B[l + "_cell"].val)
             if B[l + "_grad"]:
                 r += asm.grad_to_dofs(B[l + "_grad"].val)
-            if B[l + "_facet"]:
+            if B[l + "_facet"] and B[l + "_fgrad"]:
+                r += asm.facet_fgrad_to_dofs(B[l + "_facet"].val,
+                                             B[l + "_fgrad"].val)
+            elif B[l + "_facet"]:
                 r += asm.facet_to_dofs(B[l + "_facet"].val)
-            if B[l + "_fgrad"]:
+            elif B[l + "_fgrad"]:
                 r += asm.fgrad_to_dofs(B[l + "_fgrad"].val)
             out[l] = r
         return out

@@ -75,6 +75,23 @@ class DGAssembler:
         self._Mref_inv_np = np.linalg.inv(Mref)
         self.Mref = jnp.asarray(Mref)
         self.Mref_inv = jnp.asarray(self._Mref_inv_np)
+        # eager (never under trace): flat (nc, 3) index into (nf*2, ...)
+        # per-side facet contribution arrays — one single-axis gather
+        # instead of a two-index gather in the hot loop
+        self.cell_facet_flat = jnp.asarray(
+            np.asarray(mesh.cell_facets) * 2 + np.asarray(mesh.cell_sides)
+        )
+        # eager mesh-static tabulation tensors: paying O(nf) memory here
+        # removes two index-gathers per residual evaluation at trace time
+        fv_np = np.asarray(mesh.facet_variant)
+        fc_np = np.asarray(mesh.facet_cells)
+        phi_f_np = np.asarray(tab["phi_f"])
+        dphi_f_np = np.asarray(tab["dphi_f"])
+        Jinv_np = np.asarray(mesh.Jinv)
+        self.both_tabs = jnp.asarray(phi_f_np[fv_np])  # (nf,2,nqf,nd)
+        self.both_gtabs_c = jnp.asarray(  # (nf,2,nqf,nd,2)
+            np.einsum("fsqdj,fsji->fsqdi", dphi_f_np[fv_np], Jinv_np[fc_np])
+        )
 
     # -- cached device tables -------------------------------------------
     @property
@@ -84,6 +101,10 @@ class DGAssembler:
     @property
     def wlen(self):  # (nf, nqf)
         return self.space.qwf[None, :] * self.mesh.facet_len[:, None]
+
+    def both_gtabs(self):
+        """Physical facet basis gradients, both sides: (nf, 2, nqf, nd, 2)."""
+        return self.both_gtabs_c
 
     def _side_tab(self, s):
         """Facet basis tabulation for side s: (nf, nqf, nd)."""
@@ -106,22 +127,17 @@ class DGAssembler:
         return jnp.einsum("cq...j,cji->cq...i", g, self.mesh.Jinv)
 
     def facet_traces(self, u):
-        """(nc, nd[, k]) -> (nf, 2, nqf[, k]) both-side traces."""
-        out = []
-        for s in (0, 1):
-            cd = u[self.mesh.facet_cells[:, s]]  # (nf, nd[,k])
-            out.append(jnp.einsum("fqd,fd...->fq...", self._side_tab(s), cd))
-        return jnp.stack(out, axis=1)
+        """(nc, nd[, k]) -> (nf, 2, nqf[, k]) both-side traces.
+
+        One (nf, 2)-indexed gather + one einsum: TPU gather cost is flat
+        in row width, so both sides ride a single gather."""
+        cd = u[self.mesh.facet_cells]  # (nf, 2, nd[, k])
+        return jnp.einsum("fsqd,fsd...->fsq...", self.both_tabs, cd)
 
     def facet_trace_grads(self, u):
         """(nc, nd[, k]) -> (nf, 2, nqf[, k], 2)."""
-        out = []
-        for s in (0, 1):
-            cd = u[self.mesh.facet_cells[:, s]]
-            out.append(
-                jnp.einsum("fqdi,fd...->fq...i", self._side_gtab(s), cd)
-            )
-        return jnp.stack(out, axis=1)
+        cd = u[self.mesh.facet_cells]
+        return jnp.einsum("fsqdi,fsd...->fsq...i", self.both_gtabs(), cd)
 
     def facet_midpoint_data(self, vertex_field):
         """Evaluate a P1CG (per-vertex) coefficient at facet quad points:
@@ -149,29 +165,36 @@ class DGAssembler:
         )
 
     def _gather_cells(self, contrib):
-        """(nf, 2, nd[, k]) per-side facet contributions -> (nc, nd[, k])."""
-        g = contrib[self.mesh.cell_facets, self.mesh.cell_sides]
+        """(nf, 2, nd[, k]) per-side facet contributions -> (nc, nd[, k]):
+        flat single-axis gather + sum over the 3 local facets."""
+        flat = contrib.reshape((-1,) + contrib.shape[2:])  # (nf*2, nd[,k])
+        g = flat[self.cell_facet_flat]  # (nc, 3, nd[, k])
         return g.sum(axis=1)
 
     def facet_to_dofs(self, acc):
         """(nf, 2, nqf[, k]) -> (nc, nd[, k])."""
-        sides = []
-        for s in (0, 1):
-            a = acc[:, s]
-            aw = a * _wexpand(self.wlen, a, 2)
-            sides.append(jnp.einsum("fq...,fqd->fd...", aw, self._side_tab(s)))
-        return self._gather_cells(jnp.stack(sides, axis=1))
+        aw = acc * _wexpand(self.wlen[:, None], acc, 3)
+        contrib = jnp.einsum("fsq...,fsqd->fsd...", aw, self.both_tabs)
+        return self._gather_cells(contrib)
 
     def fgrad_to_dofs(self, acc):
         """(nf, 2, nqf[, k], 2) -> (nc, nd[, k])."""
-        sides = []
-        for s in (0, 1):
-            a = acc[:, s]
-            aw = a * _wexpand(self.wlen[..., None], a, 3)
-            sides.append(
-                jnp.einsum("fq...i,fqdi->fd...", aw, self._side_gtab(s))
-            )
-        return self._gather_cells(jnp.stack(sides, axis=1))
+        aw = acc * _wexpand(self.wlen[:, None, :, None], acc, 4)
+        contrib = jnp.einsum("fsq...i,fsqdi->fsd...", aw, self.both_gtabs())
+        return self._gather_cells(contrib)
+
+    def facet_fgrad_to_dofs(self, acc_facet, acc_fgrad):
+        """Combined facet + facet-gradient projection sharing ONE cell
+        gather: acc_facet (nf,2,nqf[,k]), acc_fgrad (nf,2,nqf[,kg],2) with
+        kg <= k (missing trailing components padded with zeros)."""
+        aw = acc_facet * _wexpand(self.wlen[:, None], acc_facet, 3)
+        contrib = jnp.einsum("fsq...,fsqd->fsd...", aw, self.both_tabs)
+        gw = acc_fgrad * _wexpand(self.wlen[:, None, :, None], acc_fgrad, 4)
+        cg = jnp.einsum("fsq...i,fsqdi->fsd...", gw, self.both_gtabs())
+        if cg.shape != contrib.shape:
+            pad = [(0, a - b) for a, b in zip(contrib.shape, cg.shape)]
+            cg = jnp.pad(cg, pad)
+        return self._gather_cells(contrib + cg)
 
     # ======================= mass operators ============================
     def mass_apply(self, u):
