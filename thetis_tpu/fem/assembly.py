@@ -126,18 +126,26 @@ class DGAssembler:
         g = jnp.einsum("qdj,cd...->cq...j", self.space.dphi, u)
         return jnp.einsum("cq...j,cji->cq...i", g, self.mesh.Jinv)
 
-    def facet_traces(self, u):
-        """(nc, nd[, k]) -> (nf, 2, nqf[, k]) both-side traces.
+    def _gather_sides(self, u):
+        """Gather both-side cell dofs: (nc, nd[, k]) -> (nf, 2, nd[, k]).
 
-        One (nf, 2)-indexed gather + one einsum: TPU gather cost is flat
-        in row width, so both sides ride a single gather."""
-        cd = u[self.mesh.facet_cells]  # (nf, 2, nd[, k])
-        return jnp.einsum("fsqd,fsd...->fsq...", self.both_tabs, cd)
+        The gather runs on a rank-2 view (trailing dims flattened): TPU
+        tiles the two minormost axes to (8, 128), so gathering a rank-3/4
+        array with tiny minor dims pads every row to a full tile (~1.6x
+        slower, measured).  One gather serves both sides."""
+        flat = u.reshape(u.shape[0], -1)
+        cd = flat[self.mesh.facet_cells]  # (nf, 2, prod)
+        return cd.reshape(cd.shape[:2] + u.shape[1:])
+
+    def facet_traces(self, u):
+        """(nc, nd[, k]) -> (nf, 2, nqf[, k]) both-side traces."""
+        return jnp.einsum("fsqd,fsd...->fsq...", self.both_tabs,
+                          self._gather_sides(u))
 
     def facet_trace_grads(self, u):
         """(nc, nd[, k]) -> (nf, 2, nqf[, k], 2)."""
-        cd = u[self.mesh.facet_cells]
-        return jnp.einsum("fsqdi,fsd...->fsq...i", self.both_gtabs(), cd)
+        return jnp.einsum("fsqdi,fsd...->fsq...i", self.both_gtabs(),
+                          self._gather_sides(u))
 
     def facet_midpoint_data(self, vertex_field):
         """Evaluate a P1CG (per-vertex) coefficient at facet quad points:
@@ -166,10 +174,11 @@ class DGAssembler:
 
     def _gather_cells(self, contrib):
         """(nf, 2, nd[, k]) per-side facet contributions -> (nc, nd[, k]):
-        flat single-axis gather + sum over the 3 local facets."""
-        flat = contrib.reshape((-1,) + contrib.shape[2:])  # (nf*2, nd[,k])
-        g = flat[self.cell_facet_flat]  # (nc, 3, nd[, k])
-        return g.sum(axis=1)
+        flat single-axis rank-2 gather (see _gather_sides on why rank-2)
+        + sum over the 3 local facets."""
+        flat = contrib.reshape(contrib.shape[0] * 2, -1)  # (nf*2, prod)
+        g = flat[self.cell_facet_flat]  # (nc, 3, prod)
+        return g.sum(axis=1).reshape((-1,) + contrib.shape[2:])
 
     def facet_to_dofs(self, acc):
         """(nf, 2, nqf[, k]) -> (nc, nd[, k])."""
