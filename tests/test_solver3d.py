@@ -131,3 +131,28 @@ def test_lock_exchange():
     # vertical velocity developed
     w = np.asarray(so.fields.w_3d.data)
     assert np.abs(w).max() > 1e-7
+
+
+def test_hcc_metric():
+    """HCC metric: zero for flat bathymetry, grows with bathymetry slope
+    (ref ``utility3d.py:376-470``)."""
+    from thetis_tpu.equations.utility3d import Mesh3DConsistencyCalculator
+
+    so = make_solver3d()
+    so.assign_initial_conditions()
+    hcc = Mesh3DConsistencyCalculator(so).solve()
+    assert float(jnp.abs(hcc).max()) < 1e-10  # straight prisms
+
+    # sloped bathymetry: R = |grad h| dx / dz > 0
+    mesh2d = RectangleMesh(12, 2, 20e3, 4e3)
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    bath = Function(P1).interpolate(lambda x, y: 10.0 + 8.0 * x / 20e3)
+    so2 = FlowSolver(mesh2d, bath, 6)
+    so2.options.timestep = 30.0
+    so2.options.simulation_export_time = 300.0
+    so2.options.simulation_end_time = 300.0
+    so2.options.no_exports = True
+    so2.assign_initial_conditions()
+    hcc2 = Mesh3DConsistencyCalculator(so2).solve()
+    assert float(hcc2.max()) > 0.01
+    assert jnp.isfinite(hcc2).all()

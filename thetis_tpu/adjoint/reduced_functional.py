@@ -46,13 +46,17 @@ class ReducedFunctional:
     :arg controls: Control or list of Controls
     """
 
-    def __init__(self, forward, controls, derivative_cb_post=None, scale=1.0):
+    def __init__(self, forward, controls, derivative_cb_post=None, scale=1.0,
+                 eval_cb_pre=None, eval_cb_post=None, derivative_cb_pre=None):
         self.forward = forward
         self.controls = (
             list(controls) if isinstance(controls, (list, tuple)) else [controls]
         )
         self.scale = scale
         self.derivative_cb_post = derivative_cb_post
+        self.derivative_cb_pre = derivative_cb_pre
+        self.eval_cb_pre = eval_cb_pre
+        self.eval_cb_post = eval_cb_post
         self._jit_value = jax.jit(self._value_fn)
         self._jit_vg = jax.jit(jax.value_and_grad(self._value_fn, argnums=tuple(
             range(len(self.controls))
@@ -73,10 +77,17 @@ class ReducedFunctional:
     def __call__(self, values=None):
         values = self._coerce(values)
         self._latest = values
-        return float(self._jit_value(*values))
+        if self.eval_cb_pre is not None:
+            self.eval_cb_pre(values)
+        j = float(self._jit_value(*values))
+        if self.eval_cb_post is not None:
+            self.eval_cb_post(j, values)
+        return j
 
     def derivative(self, values=None):
         values = self._coerce(values)
+        if self.derivative_cb_pre is not None:
+            self.derivative_cb_pre(values)
         j, grads = self._jit_vg(*values)
         if self.derivative_cb_post is not None:
             self.derivative_cb_post(float(j), grads, values)
@@ -84,8 +95,15 @@ class ReducedFunctional:
 
     def value_and_derivative(self, values=None):
         values = self._coerce(values)
+        if self.eval_cb_pre is not None:
+            self.eval_cb_pre(values)
         j, grads = self._jit_vg(*values)
-        return float(j), (grads if len(self.controls) > 1 else grads[0])
+        j = float(j)
+        if self.eval_cb_post is not None:
+            self.eval_cb_post(j, values)
+        if self.derivative_cb_post is not None:
+            self.derivative_cb_post(j, grads, values)
+        return j, (grads if len(self.controls) > 1 else grads[0])
 
 
 def taylor_test(rf, c, dc, n=4, h0=1e-2):

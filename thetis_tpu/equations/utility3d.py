@@ -149,3 +149,43 @@ class SmagorinskyViscosity:
         if self.max_visc is not None:
             nu = jnp.minimum(nu, self.max_visc)
         return nu
+
+
+class Mesh3DConsistencyCalculator:
+    r"""Hydrostatic consistency criterion (HCC) metric on the extruded mesh
+    (ref ``utility3d.py:376-470``).
+
+    For each prism let ``delta_z_top``/``delta_z_bot`` be the maximal z
+    difference across the top/bottom facet and ``h`` the local prism
+    height; the per-node metric is ``R_t = delta_z_top / h`` (top) and
+    ``R_b = delta_z_bot / h`` (bottom).  ``R = 0`` for straight prisms;
+    values above ~1 indicate internal pressure gradient errors (in
+    practice ``R < 5`` is tolerable)."""
+
+    def __init__(self, solver_obj=None):
+        self.solver_obj = solver_obj
+
+    @staticmethod
+    def compute(z_interfaces):
+        """(nc, 3, nz+1) interface z -> (nc, 3, nz, 2) HCC metric
+        ([..., 0] = bottom facet ratio, [..., 1] = top facet ratio)."""
+        z_bot = z_interfaces[:, :, :-1]  # (nc, 3, nz)
+        z_top = z_interfaces[:, :, 1:]
+        dz_top = z_top.max(axis=1, keepdims=True) - z_top.min(
+            axis=1, keepdims=True)
+        dz_bot = z_bot.max(axis=1, keepdims=True) - z_bot.min(
+            axis=1, keepdims=True)
+        h = jnp.maximum(z_top - z_bot, 1e-14)
+        return jnp.stack([dz_bot / h, dz_top / h], axis=-1)
+
+    def solve(self):
+        """Compute the metric from the solver's current mesh geometry
+        (z interfaces rebuilt from the current elevation) and log the
+        global range."""
+        so = self.solver_obj
+        z = so.extruded.z_interfaces(so.bathy_cell,
+                                     so.fields.elev_2d.data)
+        out = self.compute(z)
+        from ..utils.log import print_output
+        print_output(f"HCC: {float(out.min()):.4f} .. {float(out.max()):.4f}")
+        return out

@@ -76,11 +76,12 @@ class NPZExporter:
         self.next_export_ix = ix
 
     def export(self, function, time=None):
-        mesh = self.space.mesh
         path = os.path.join(
             self.outputdir, f"{self.filename}_{self.next_export_ix:05d}.npz"
         )
-        if not self._mesh_written:
+        # space may be None for bare-array exports (optimisation callbacks)
+        if self.space is not None and not self._mesh_written:
+            mesh = self.space.mesh
             np.savez(
                 os.path.join(self.outputdir, f"{self.filename}_mesh.npz"),
                 coords=mesh.coords_np,

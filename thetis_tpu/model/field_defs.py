@@ -73,6 +73,8 @@ field_metadata = {
                       unit="m s-1", filename="DAVelocity3d"),
     "w_mesh_3d": dict(name="Mesh velocity", shortname="Mesh velocity",
                       unit="m s-1", filename="MeshVelo3d"),
+    "hcc_metric_3d": dict(name="HCC metric", shortname="HCC metric",
+                          unit="-", filename="HCCMetric3d"),
     "z_coord_3d": dict(name="Mesh z coordinates", shortname="Z coordinates",
                        unit="m", filename="ZCoord3d"),
     "buoy_freq_3d": dict(name="Buoyancy frequency squared", shortname="Buoyancy frequency squared",
