@@ -89,8 +89,24 @@ class DGAssembler:
         dphi_f_np = np.asarray(tab["dphi_f"])
         Jinv_np = np.asarray(mesh.Jinv)
         self.both_tabs = jnp.asarray(phi_f_np[fv_np])  # (nf,2,nqf,nd)
-        self.both_gtabs_c = jnp.asarray(  # (nf,2,nqf,nd,2)
-            np.einsum("fsqdj,fsji->fsqdi", dphi_f_np[fv_np], Jinv_np[fc_np])
+        gt_np = np.einsum(
+            "fsqdj,fsji->fsqdi", dphi_f_np[fv_np], Jinv_np[fc_np]
+        )
+        self.both_gtabs_c = jnp.asarray(gt_np)  # (nf,2,nqf,nd,2)
+        # weight-folded flat projection tables: (nf*2, nqf, nd) and
+        # (nf*2, nqf, nd, 2) — the projection einsums then run rank-3
+        # (flat facet-side axis), which avoids TPU tile padding on the
+        # tiny (2, nqf) minor dims (measured ~1 ms/residual)
+        wlen_np = (np.asarray(self.space._tab_np["qwf"])[None, :]
+                   * np.asarray(mesh.facet_len)[:, None])  # (nf, nqf)
+        nfl = fv_np.shape[0]
+        self.wtabs_flat = jnp.asarray(
+            (phi_f_np[fv_np] * wlen_np[:, None, :, None]).reshape(
+                nfl * 2, -1, el.ndofs)
+        )
+        self.wgtabs_flat = jnp.asarray(
+            (gt_np * wlen_np[:, None, :, None, None]).reshape(
+                nfl * 2, -1, el.ndofs, 2)
         )
 
     # -- cached device tables -------------------------------------------
@@ -180,30 +196,51 @@ class DGAssembler:
         g = flat[self.cell_facet_flat]  # (nc, 3, prod)
         return g.sum(axis=1).reshape((-1,) + contrib.shape[2:])
 
+    def _facet_contrib_flat(self, acc):
+        """(nf, 2, nqf[, k...]) -> ((nf*2, nd*k) weighted per-side test
+        contributions, tail shape).  Flat rank-3 shapes throughout
+        (weights pre-folded into wtabs_flat) to avoid TPU tile padding."""
+        nqf = acc.shape[2]
+        a2 = acc.reshape(acc.shape[0] * 2, nqf, -1)  # (nf*2, nqf, k)
+        c = jnp.einsum("fqk,fqd->fdk", a2, self.wtabs_flat)
+        return c.reshape(c.shape[0], -1), acc.shape[3:]
+
     def facet_to_dofs(self, acc):
         """(nf, 2, nqf[, k]) -> (nc, nd[, k])."""
-        aw = acc * _wexpand(self.wlen[:, None], acc, 3)
-        contrib = jnp.einsum("fsq...,fsqd->fsd...", aw, self.both_tabs)
-        return self._gather_cells(contrib)
+        flat, tail = self._facet_contrib_flat(acc)
+        g = flat[self.cell_facet_flat].sum(axis=1)  # (nc, nd*k)
+        return g.reshape((g.shape[0], self.ndofs) + tail)
+
+    def _fgrad_contrib_flat(self, acc):
+        """(nf, 2, nqf[, k], 2) -> ((nf*2, nd*k) contributions, tail)."""
+        nqf = acc.shape[2]
+        tail = acc.shape[3:-1]
+        a2 = acc.reshape((acc.shape[0] * 2, nqf, -1, 2))  # (nf*2,nqf,k,2)
+        c = jnp.einsum("fqki,fqdi->fdk", a2, self.wgtabs_flat)
+        return c.reshape(c.shape[0], -1), tail
 
     def fgrad_to_dofs(self, acc):
         """(nf, 2, nqf[, k], 2) -> (nc, nd[, k])."""
-        aw = acc * _wexpand(self.wlen[:, None, :, None], acc, 4)
-        contrib = jnp.einsum("fsq...i,fsqdi->fsd...", aw, self.both_gtabs())
-        return self._gather_cells(contrib)
+        flat, tail = self._fgrad_contrib_flat(acc)
+        g = flat[self.cell_facet_flat].sum(axis=1)
+        return g.reshape((g.shape[0], self.ndofs) + tail)
 
     def facet_fgrad_to_dofs(self, acc_facet, acc_fgrad):
         """Combined facet + facet-gradient projection sharing ONE cell
         gather: acc_facet (nf,2,nqf[,k]), acc_fgrad (nf,2,nqf[,kg],2) with
         kg <= k (missing trailing components padded with zeros)."""
-        aw = acc_facet * _wexpand(self.wlen[:, None], acc_facet, 3)
-        contrib = jnp.einsum("fsq...,fsqd->fsd...", aw, self.both_tabs)
-        gw = acc_fgrad * _wexpand(self.wlen[:, None, :, None], acc_fgrad, 4)
-        cg = jnp.einsum("fsq...i,fsqdi->fsd...", gw, self.both_gtabs())
-        if cg.shape != contrib.shape:
-            pad = [(0, a - b) for a, b in zip(contrib.shape, cg.shape)]
-            cg = jnp.pad(cg, pad)
-        return self._gather_cells(contrib + cg)
+        flat_f, tail = self._facet_contrib_flat(acc_facet)
+        flat_g, _ = self._fgrad_contrib_flat(acc_fgrad)
+        if flat_g.shape[1] != flat_f.shape[1]:
+            # flat layout is (nd, k) row-major: pad each dof block's
+            # component axis up to the facet accumulator's k
+            kf = flat_f.shape[1] // self.ndofs
+            kg = flat_g.shape[1] // self.ndofs
+            fg = flat_g.reshape(-1, self.ndofs, kg)
+            fg = jnp.pad(fg, ((0, 0), (0, 0), (0, kf - kg)))
+            flat_g = fg.reshape(-1, self.ndofs * kf)
+        g = (flat_f + flat_g)[self.cell_facet_flat].sum(axis=1)
+        return g.reshape((g.shape[0], self.ndofs) + tail)
 
     # ======================= mass operators ============================
     def mass_apply(self, u):
