@@ -67,6 +67,7 @@ class ModelOptions3d(ModelOptions2d):
             smagorinsky_coefficient=0.1,
             use_limiter_for_velocity=False,
             use_baroclinic_formulation=True,
+            timestepper_type="CrankNicolson",  # or 'SSPRK22' (2-stage ALE)
             equation_of_state_type="linear",
             constant_temperature=10.0,
             constant_salinity=35.0,
@@ -262,33 +263,56 @@ class FlowSolver:
 
         sigma = ext.sigma  # (nz+1,)
 
-        def ale_stage(eq, key, sol3, fields, geom_old, geom_new,
-                      consistency_fix=False):
-            """ALE advection stage (ref SSPRK22ALE, ``timeintegrator.py:
-            609-770``): assemble the RHS and old mass on the OLD mesh,
-            invert the mass on the NEW mesh —
-            M_new u_new = M_old u_old + dt R_old.
+        two_stage = str(getattr(o, "timestepper_type", "CrankNicolson")) \
+            in ("SSPRK22", "TwoStageRK")
 
-            With ``consistency_fix`` the drift of a uniform field (the
-            residual mismatch between the 3D advection fluxes and the 2D
-            continuity, cf. the reference's consistency-exact weak w
-            solver) is computed explicitly and subtracted, so uniform
-            tracers stay exactly uniform on the moving mesh
+        def ale_combine(eq, key, u0, u_eval, fields, geom0, geom_eval,
+                        geom_new, a, b, consistency_fix=False):
+            """Generalized ALE stage (ref SSPRK22ALE,
+            ``timeintegrator.py:609-770``):
+
+                M_new u_new = a * M(geom0) u0
+                            + b * (M(geom_eval) u_eval + dt R(u_eval))
+
+            a=0, b=1 is the forward predictor stage; a=b=1/2 is the
+            SSPRK22 averaging corrector.  With ``consistency_fix`` the
+            drift of a uniform field (the residual mismatch between the
+            3D advection fluxes and the 2D continuity, cf. the
+            reference's consistency-exact weak w solver) is computed
+            explicitly and subtracted, so uniform tracers stay exactly
+            uniform on the moving mesh
             (``test/tracerEq/test_consistency.py`` analogue)."""
 
-            def raw(u):
-                r = eq.residual("all", {key: u}, {key: u}, fields, fields,
-                                {}, geom=geom_old)
-                m_old = eq.mass_term({key: u}, geom_old)
-                return eq.mass_inverse(
-                    {key: m_old[key] + dt * r[key]}, geom_new
-                )[key]
+            def raw(u0v, uev):
+                r = eq.residual("all", {key: uev}, {key: uev}, fields,
+                                fields, {}, geom=geom_eval)
+                acc = b * (eq.mass_term({key: uev}, geom_eval)[key]
+                           + dt * r[key])
+                if a != 0.0:
+                    acc = acc + a * eq.mass_term({key: u0v}, geom0)[key]
+                return eq.mass_inverse({key: acc}, geom_new)[key]
 
-            out = raw(sol3[key])
+            out = raw(u0, u_eval)
             if consistency_fix:
-                drift = raw(jnp.ones_like(sol3[key])) - 1.0
-                out = out - sol3[key] * drift
+                ones = jnp.ones_like(u0)
+                drift = raw(ones, ones) - 1.0
+                out = out - u0 * drift
             return out
+
+        def ale_advance(eq, key, u0, fields, geom_old, geom_new,
+                        consistency_fix=False):
+            """Advance one 3D field over the step: a single forward ALE
+            stage, or the two-stage SSPRK22 ALE predictor/corrector
+            (ref ``coupled_timeintegrator.py`` CoupledTwoStageRK) when
+            ``options.timestepper_type`` is 'SSPRK22'."""
+            u1 = ale_combine(eq, key, u0, u0, fields, geom_old, geom_old,
+                             geom_new, 0.0, 1.0,
+                             consistency_fix=consistency_fix)
+            if not two_stage:
+                return u1
+            return ale_combine(eq, key, u0, u1, fields, geom_old, geom_new,
+                               geom_new, 0.5, 0.5,
+                               consistency_fix=consistency_fix)
 
         def mesh_velocity(elev_old, elev_new):
             """w_mesh at layer dof points: dz/dt at fixed sigma =
@@ -341,8 +365,8 @@ class FlowSolver:
                 "viscosity_h": swe_fields.get("viscosity_h"),
             }
             fields3 = {k: v for k, v in fields3.items() if v is not None}
-            mom_sol = {"uv_3d": uv_total}
-            uv_new = ale_stage(eq_mom, "uv_3d", mom_sol, fields3, geom0, geom)
+            uv_new = ale_advance(eq_mom, "uv_3d", uv_total, fields3,
+                                 geom0, geom)
 
             # --- 4. tracers (T/S) advected by the continuity-consistent
             # velocity
@@ -353,13 +377,13 @@ class FlowSolver:
             tr_fields = {k: v for k, v in tr_fields.items() if v is not None}
             new_state = dict(state)
             if solve_salt:
-                new_state["salt_3d"] = ale_stage(
-                    eq_salt, "salt_3d", {"salt_3d": state["salt_3d"]},
+                new_state["salt_3d"] = ale_advance(
+                    eq_salt, "salt_3d", state["salt_3d"],
                     tr_fields, geom0, geom, consistency_fix=True,
                 )
             if solve_temp:
-                new_state["temp_3d"] = ale_stage(
-                    eq_temp, "temp_3d", {"temp_3d": state["temp_3d"]},
+                new_state["temp_3d"] = ale_advance(
+                    eq_temp, "temp_3d", state["temp_3d"],
                     tr_fields, geom0, geom, consistency_fix=True,
                 )
 
