@@ -129,6 +129,15 @@ class FlowSolver2d:
                 )
             f[label] = Function(fs.Q_2d, name=label)
         self.solve_tracer = len(self.tracer_labels) > 0
+        nho = self.options.nh_model_options
+        self.solve_nh = bool(
+            nho and nho.solve_nonhydrostatic_pressure
+        )
+        if self.solve_nh:
+            # NH pressure q (P1 CG) and depth-averaged vertical velocity w
+            # (ref solver2d.py:443-449)
+            f.q_2d = Function(fs.P1_2d, name="q_2d")
+            f.w_2d = Function(fs.H_2d, name="w_2d")
         so = self.options.sediment_model_options
         self.solve_sediment = bool(so and so.solve_suspended_sediment)
         self.solve_exner = bool(so and so.use_exner)
@@ -211,6 +220,28 @@ class FlowSolver2d:
             tidal_farms=self.tidal_farms,
         )
         self.depth = self.eq_sw.depth
+        if self.solve_nh:
+            from ..equations.nh import (
+                DepthIntegratedPoissonSolver, FreeSurfaceEquation2D,
+            )
+            nho = o.nh_model_options
+            assert bathy.ndim == 1, (
+                "NH pressure solver requires CG1 bathymetry")
+            self.poisson_solver = DepthIntegratedPoissonSolver(
+                self.mesh2d, self.asm, self.depth,
+                float(self.options.timestep),
+                bnd_conditions=self.bnd_functions["shallow_water"],
+                rtol=float(nho.q_solver_rtol),
+                maxiter=int(nho.q_solver_maxiter),
+                q_degree=int(nho.q_degree),
+            )
+            # q_2d dofs follow the Poisson space (P2 CG by default)
+            self.fields.q_2d = Function(self.poisson_solver.q_space,
+                                        name="q_2d")
+            self.eq_free_surface = FreeSurfaceEquation2D(
+                self.mesh2d, self.asm, self.depth, bathy,
+                bnd_conditions=self.bnd_functions["shallow_water"],
+            )
         if self.solve_tracer:
             bnd_tr = self.bnd_functions["tracer"]
             self.eq_tracer = TracerEquation2D(
@@ -313,6 +344,12 @@ class FlowSolver2d:
                    if so.exner_timestepper_type in
                    ("CrankNicolson", "BackwardEuler") else {}),
             )
+        if getattr(self, "solve_nh", False):
+            nho = o.nh_model_options
+            self.fs_stepper = get_stepper(
+                nho.free_surface_timestepper_type, self.eq_free_surface,
+                self.dt, o, semi_implicit=True,
+            ) if nho.update_free_surface else None
         self._build_advance()
         self._timestepper_created = True
 
@@ -451,9 +488,16 @@ class FlowSolver2d:
         eq_sw = self.eq_sw
         bnd_sed = self._gather_bnd("sediment") if solve_sediment else {}
 
+        solve_nh = getattr(self, "solve_nh", False)
+        poisson = getattr(self, "poisson_solver", None)
+        fs_stepper = getattr(self, "fs_stepper", None)
+        bathy_v = (self.fields.bathymetry_2d.data
+                   if solve_nh else None)
+
         def advance(t, state, swe_fields, tracer_extra, bnd_sw, bnd_tr):
             # lock-step coupled advance (ref coupled_timeintegrator_2d.py:
-            # 93-113): SWE -> tracers(+limiter) -> sediment(+limiter) -> Exner
+            # 93-113): SWE -> (NH pressure + fs corrector) ->
+            # tracers(+limiter) -> sediment(+limiter) -> Exner
             sw = {"uv": state["uv"], "elev": state["elev"]}
             if solve_exner:
                 swe_fields = dict(swe_fields)
@@ -463,6 +507,26 @@ class FlowSolver2d:
             new_state = dict(state)
             new_state["uv"] = sw["uv"]
             new_state["elev"] = sw["elev"]
+            if solve_nh:
+                # serial NH advance (ref coupled_timeintegrator_2d.py:
+                # 205-219): Poisson solve -> velocity update -> free
+                # surface corrector from the pre-step elevation
+                q, uv_c, w_c = poisson.solve(
+                    sw["uv"], state["w"], sw["elev"], bathy_v,
+                    q0=state["q"],
+                )
+                new_state["q"] = q
+                new_state["w"] = w_c
+                new_state["uv"] = uv_c
+                if fs_stepper is not None:
+                    # midpoint velocity centres the eta update in time
+                    # (2nd-order splitting; frozen end-of-step velocity
+                    # costs one order, measured)
+                    ff = {"uv_2d": 0.5 * (state["uv"] + uv_c)}
+                    fs = fs_stepper.advance(
+                        t, {"elev": state["elev"]}, ff, ff, bnd_sw
+                    )
+                    new_state["elev"] = fs["elev"]
             if solve_tracer:
                 tf = gather_tracer_fields_traced(new_state, tracer_extra)
                 tr = {l: state[l] for l in labels}
@@ -542,6 +606,9 @@ class FlowSolver2d:
             s["sediment_2d"] = self.fields.sediment_2d.data
         if self.solve_exner:
             s["bathymetry"] = self.fields.bathymetry_2d.data
+        if getattr(self, "solve_nh", False):
+            s["q"] = self.fields.q_2d.data
+            s["w"] = self.fields.w_2d.data
         return s
 
     def _set_state(self, s):
@@ -553,6 +620,9 @@ class FlowSolver2d:
             self.fields.sediment_2d.data = s["sediment_2d"]
         if self.solve_exner:
             self.fields.bathymetry_2d.data = s["bathymetry"]
+        if getattr(self, "solve_nh", False):
+            self.fields.q_2d.data = s["q"]
+            self.fields.w_2d.data = s["w"]
 
     # ------------------------------------------------------------------
     def differentiable_forward(self, controls, terminal_functional=None,

@@ -154,6 +154,19 @@ class SedimentModelOptions(FrozenOptions):
         self._freeze()
 
 
+class NonhydrostaticModelOptions(FrozenOptions):
+    """NH pressure sub-options (ref ``options.py:566-600``)."""
+
+    def __init__(self):
+        self.solve_nonhydrostatic_pressure = False
+        self.update_free_surface = True
+        self.free_surface_timestepper_type = "CrankNicolson"
+        self.q_degree = 2
+        self.q_solver_rtol = 1e-8
+        self.q_solver_maxiter = 200
+        self._freeze()
+
+
 class ModelOptions2d(FrozenOptions):
     """2D model options (ref ``options.py:866-1041``)."""
 
@@ -224,7 +237,7 @@ class ModelOptions2d(FrozenOptions):
         self.tracer_picard_iterations = 1
         # sediment / NH sub-option objects
         self.sediment_model_options = SedimentModelOptions()
-        self.nh_model_options = None
+        self.nh_model_options = NonhydrostaticModelOptions()
         # steppers (paired-enum behaviour in __setattr__)
         self.swe_timestepper_type = "CrankNicolson"
         self.swe_timestepper_options = CrankNicolsonTimeStepperOptions2d()
