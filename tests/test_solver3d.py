@@ -187,3 +187,34 @@ def test_ssprk22_ale_two_stage():
     x = np.asarray(xy[..., 0])
     front = np.abs(x - 4e3) < 2e3
     assert uv3[:, :, 0, 0, 0][front].mean() > 0
+
+
+def test_leapfrog_am3():
+    """LeapFrogAM3 ALE integrator (ref ``timeintegrator.py:467-607``):
+    machine-exact uniform-tracer consistency and correct lock-exchange
+    physics."""
+    so = make_solver3d(timestepper_type="LeapFrogAM3")
+    P1 = FunctionSpace(so.mesh2d, "CG", 1)
+    elev0 = Function(P1).interpolate(
+        lambda x, y: 0.3 * np.exp(-(((x - 10e3) / 3e3) ** 2))
+    )
+    so.assign_initial_conditions(elev=elev0, salt=35.0, temp=10.0)
+    so.iterate()
+    assert np.abs(np.asarray(so.fields.salt_3d.data) - 35.0).max() < 1e-9
+    assert np.abs(np.asarray(so.fields.temp_3d.data) - 10.0).max() < 1e-9
+
+    so2 = make_solver3d(nx=16, nz=8, lx=8e3, timestepper_type="LeapFrogAM3")
+    so2.options.timestep = 20.0
+    so2.options.simulation_export_time = 200.0
+    so2.options.simulation_end_time = 400.0
+    V = FunctionSpace(so2.mesh2d, "DG", 1)
+    t2d = Function(V).interpolate(lambda x, y: 5.0 * np.tanh((x - 4e3) / 400.0))
+    so2.assign_initial_conditions(temp=t2d.data, salt=35.0)
+    so2.iterate()
+    uv3 = np.asarray(so2.fields.uv_3d.data)
+    temp = np.asarray(so2.fields.temp_3d.data)
+    assert np.isfinite(uv3).all() and np.isfinite(temp).all()
+    xy = V.dof_coords()
+    x = np.asarray(xy[..., 0])
+    front = np.abs(x - 4e3) < 2e3
+    assert uv3[:, :, 0, 0, 0][front].mean() > 0

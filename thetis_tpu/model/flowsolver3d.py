@@ -263,8 +263,9 @@ class FlowSolver:
 
         sigma = ext.sigma  # (nz+1,)
 
-        two_stage = str(getattr(o, "timestepper_type", "CrankNicolson")) \
-            in ("SSPRK22", "TwoStageRK")
+        ts_type = str(getattr(o, "timestepper_type", "CrankNicolson"))
+        two_stage = ts_type in ("SSPRK22", "TwoStageRK")
+        leapfrog = ts_type == "LeapFrogAM3"
 
         def ale_combine(eq, key, u0, u_eval, fields, geom0, geom_eval,
                         geom_new, a, b, consistency_fix=False):
@@ -299,12 +300,57 @@ class FlowSolver:
                 out = out - u0 * drift
             return out
 
+        lf_gamma = 1.0 / 12.0
+
+        def lf_advance(eq, key, u0, u_prev, fields, geom_old, geom_new,
+                       consistency_fix=False):
+            """LeapFrogAM3 ALE step (ref ``timeintegrator.py:467-607``,
+            Shchepetkin & McWilliams ROMS kernel):
+
+              predict (fixed mesh):
+                u_half = (1/2 - 2g) u_{n-1} + (1/2 + 2g) u_n
+                       + dt (1 - 2g) M0^-1 R(u_n)
+              correct (Euler ALE):
+                M_new u_{n+1} = M0 u_n + dt R(u_half)
+            """
+            a = 0.5 - 2 * lf_gamma
+            b = 0.5 + 2 * lf_gamma
+            cc = 1.0 - 2 * lf_gamma
+
+            def predict(u0v, upv):
+                r = eq.residual("all", {key: u0v}, {key: u0v}, fields,
+                                fields, {}, geom=geom_old)
+                k = eq.mass_inverse({key: r[key]}, geom_old)[key]
+                return a * upv + b * u0v + dt * cc * k
+
+            u_half = predict(u0, u_prev)
+            if consistency_fix:
+                ones = jnp.ones_like(u0)
+                u_half = u_half - u0 * (predict(ones, ones) - 1.0)
+
+            def correct(u0v, uhv):
+                r = eq.residual("all", {key: uhv}, {key: uhv}, fields,
+                                fields, {}, geom=geom_old)
+                m0 = eq.mass_term({key: u0v}, geom_old)[key]
+                return eq.mass_inverse({key: m0 + dt * r[key]},
+                                       geom_new)[key]
+
+            u1 = correct(u0, u_half)
+            if consistency_fix:
+                ones = jnp.ones_like(u0)
+                u1 = u1 - u0 * (correct(ones, ones) - 1.0)
+            return u1
+
         def ale_advance(eq, key, u0, fields, geom_old, geom_new,
-                        consistency_fix=False):
+                        consistency_fix=False, u_prev=None):
             """Advance one 3D field over the step: a single forward ALE
-            stage, or the two-stage SSPRK22 ALE predictor/corrector
+            stage, the two-stage SSPRK22 ALE predictor/corrector
             (ref ``coupled_timeintegrator.py`` CoupledTwoStageRK) when
-            ``options.timestepper_type`` is 'SSPRK22'."""
+            ``options.timestepper_type`` is 'SSPRK22', or LeapFrogAM3
+            when it is 'LeapFrogAM3'."""
+            if leapfrog:
+                return lf_advance(eq, key, u0, u_prev, fields, geom_old,
+                                  geom_new, consistency_fix=consistency_fix)
             u1 = ale_combine(eq, key, u0, u0, fields, geom_old, geom_old,
                              geom_new, 0.0, 1.0,
                              consistency_fix=consistency_fix)
@@ -366,7 +412,10 @@ class FlowSolver:
             }
             fields3 = {k: v for k, v in fields3.items() if v is not None}
             uv_new = ale_advance(eq_mom, "uv_3d", uv_total, fields3,
-                                 geom0, geom)
+                                 geom0, geom,
+                                 u_prev=state.get("uv_lf_old"))
+            if leapfrog:
+                new_state_lf_uv = uv_total
 
             # --- 4. tracers (T/S) advected by the continuity-consistent
             # velocity
@@ -376,16 +425,24 @@ class FlowSolver:
                          "diffusivity_v": mu_v0}
             tr_fields = {k: v for k, v in tr_fields.items() if v is not None}
             new_state = dict(state)
+            if leapfrog:
+                new_state["uv_lf_old"] = new_state_lf_uv
             if solve_salt:
                 new_state["salt_3d"] = ale_advance(
                     eq_salt, "salt_3d", state["salt_3d"],
                     tr_fields, geom0, geom, consistency_fix=True,
+                    u_prev=state.get("salt_lf_old"),
                 )
+                if leapfrog:
+                    new_state["salt_lf_old"] = state["salt_3d"]
             if solve_temp:
                 new_state["temp_3d"] = ale_advance(
                     eq_temp, "temp_3d", state["temp_3d"],
                     tr_fields, geom0, geom, consistency_fix=True,
+                    u_prev=state.get("temp_lf_old"),
                 )
+                if leapfrog:
+                    new_state["temp_lf_old"] = state["temp_3d"]
 
             # --- 5. turbulence closure and vertical mixing
             Dn = geom["Delta_nodes"]
@@ -446,12 +503,21 @@ class FlowSolver:
     # ------------------------------------------------------------------
     def _get_state(self):
         f = self.fields
-        return {
+        s = {
             "uv": f.uv_2d.data, "elev": f.elev_2d.data,
             "uv_3d": f.uv_3d.data, "w_3d": f.w_3d.data,
             "salt_3d": f.salt_3d.data, "temp_3d": f.temp_3d.data,
             "tke_3d": f.tke_3d.data, "psi_3d": f.psi_3d.data,
         }
+        if str(getattr(self.options, "timestepper_type", "")) == "LeapFrogAM3":
+            # LF-AM3 history, seeded with the current state (first step
+            # degenerates to a forward stage)
+            s["uv_lf_old"] = f.uv_3d.data + expand_function_to_3d(
+                f.uv_2d.data, self.extruded.nz
+            )
+            s["salt_lf_old"] = f.salt_3d.data
+            s["temp_lf_old"] = f.temp_3d.data
+        return s
 
     def _set_state(self, s):
         f = self.fields
