@@ -50,3 +50,39 @@ def test_checkpoint_restart(tmp_path):
         assert np.allclose(a, b, atol=1e-10), (
             f"{key} differs after restart: {np.abs(a - b).max()}"
         )
+
+
+def test_vtk_exporter(tmp_path):
+    """VTU/PVD visualization series (ref exporter.py VTK path): files are
+    valid XML and contain the nodal values."""
+    import xml.etree.ElementTree as ET
+    from thetis_tpu import RectangleMesh, FunctionSpace, Function
+    from thetis_tpu.model.exporter import VTKExporter
+
+    mesh = RectangleMesh(4, 3, 2.0, 1.0)
+    V = FunctionSpace(mesh, "DG", 1)
+    f = Function(V, name="elev_2d").interpolate(lambda x, y: x + y)
+    exp = VTKExporter(V, str(tmp_path), "Elevation2d")
+    exp.export(f, time=0.0)
+    exp.export(f, time=10.0)
+    base = tmp_path / "Elevation2d"
+    vtu = base / "Elevation2d_00000.vtu"
+    pvd = base / "Elevation2d.pvd"
+    assert vtu.exists() and pvd.exists()
+    root = ET.parse(vtu).getroot()
+    piece = root.find(".//Piece")
+    assert int(piece.get("NumberOfPoints")) == 3 * mesh.nc
+    assert int(piece.get("NumberOfCells")) == mesh.nc
+    assert len(ET.parse(pvd).getroot().findall(".//DataSet")) == 2
+
+    # vector field: padded to 3 components
+    U = FunctionSpace(mesh, "DG", 1, dim=2)
+    u = Function(U, name="uv_2d")
+    import numpy as np
+    xy = np.asarray(U.dof_coords())
+    u.data = xy  # (nc, 3, 2): uv = (x, y)
+    exp2 = VTKExporter(U, str(tmp_path), "Velocity2d")
+    exp2.export(u, time=0.0)
+    root = ET.parse(tmp_path / "Velocity2d" / "Velocity2d_00000.vtu").getroot()
+    arr = root.find(".//PointData/DataArray")
+    assert arr.get("NumberOfComponents") == "3"

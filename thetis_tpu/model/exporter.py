@@ -3,10 +3,9 @@
 Replaces the reference's ``thetis/exporter.py``: the HDF5 path writes
 native-space dof arrays with mesh + time metadata (the reference's
 ``CheckpointFile`` analogue, ref ``exporter.py:123-242``) and is the restart
-format for ``FlowSolver2d.load_state``.  The VTK visualization path is
-replaced by a portable NPZ series (one file per export with coordinates +
-cell connectivity + nodal values), since VTK/ParaView toolchains are not
-part of this stack.
+format for ``FlowSolver2d.load_state``.  Visualization: a portable NPZ
+series (default) or ParaView-compatible .vtu/.pvd files (``VTKExporter``,
+written without external dependencies).
 """
 import os
 
@@ -14,7 +13,7 @@ import numpy as np
 
 from .field_defs import field_metadata
 
-__all__ = ["HDF5Exporter", "NPZExporter", "ExportManager"]
+__all__ = ["HDF5Exporter", "NPZExporter", "VTKExporter", "ExportManager"]
 
 
 class HDF5Exporter:
@@ -93,6 +92,93 @@ class NPZExporter:
         self.next_export_ix += 1
 
 
+class VTKExporter:
+    """ParaView-compatible visualization series (ref ``exporter.py:245-320``
+    VTK path): XML .vtu files written without external dependencies, plus a
+    .pvd collection file indexing the time series.
+
+    P1DG fields are written as per-cell-vertex point data (3 points per
+    triangle, discontinuous); CG fields are averaged onto the shared mesh
+    vertices."""
+
+    def __init__(self, space, outputdir, filename_prefix, verbose=False):
+        self.space = space
+        self.outputdir = os.path.join(outputdir, filename_prefix)
+        self.filename = filename_prefix
+        os.makedirs(self.outputdir, exist_ok=True)
+        self.next_export_ix = 0
+        self._timesteps = []  # (time, relative path)
+
+    def set_next_export_ix(self, ix):
+        self.next_export_ix = ix
+
+    def _write_vtu(self, path, points, cells, name, values):
+        npts = len(points)
+        ncl = len(cells)
+        vals = np.asarray(values, dtype=np.float64)
+        ncomp = 1 if vals.ndim == 1 else vals.shape[1]
+        if ncomp == 2:  # pad 2D vectors to 3 components for ParaView
+            vals = np.concatenate([vals, np.zeros((npts, 1))], axis=1)
+            ncomp = 3
+        pts3 = np.concatenate([points, np.zeros((npts, 1))], axis=1)
+        with open(path, "w") as f:
+            f.write('<?xml version="1.0"?>\n')
+            f.write('<VTKFile type="UnstructuredGrid" version="0.1" '
+                    'byte_order="LittleEndian">\n<UnstructuredGrid>\n')
+            f.write(f'<Piece NumberOfPoints="{npts}" NumberOfCells="{ncl}">\n')
+            f.write('<Points><DataArray type="Float64" '
+                    'NumberOfComponents="3" format="ascii">\n')
+            np.savetxt(f, pts3, fmt="%.10g")
+            f.write('</DataArray></Points>\n<Cells>\n')
+            f.write('<DataArray type="Int32" Name="connectivity" '
+                    'format="ascii">\n')
+            np.savetxt(f, cells, fmt="%d")
+            f.write('</DataArray>\n<DataArray type="Int32" Name="offsets" '
+                    'format="ascii">\n')
+            np.savetxt(f, 3 * np.arange(1, ncl + 1)[:, None], fmt="%d")
+            f.write('</DataArray>\n<DataArray type="UInt8" Name="types" '
+                    'format="ascii">\n')
+            np.savetxt(f, np.full((ncl, 1), 5), fmt="%d")  # VTK_TRIANGLE
+            f.write('</DataArray>\n</Cells>\n')
+            f.write(f'<PointData Scalars="{name}">'
+                    f'<DataArray type="Float64" Name="{name}" '
+                    f'NumberOfComponents="{ncomp}" format="ascii">\n')
+            np.savetxt(f, vals.reshape(npts, -1), fmt="%.10g")
+            f.write('</DataArray></PointData>\n')
+            f.write('</Piece>\n</UnstructuredGrid>\n</VTKFile>\n')
+
+    def export(self, function, time=None):
+        mesh = self.space.mesh
+        data = np.asarray(function.data)
+        coords = np.asarray(mesh.coords_np)
+        cells = np.asarray(mesh.cells_np)
+        if data.shape[:1] == (mesh.nv,):  # CG1 vertex data
+            points, conn, vals = coords, cells, data
+        elif data.shape[:2] == (mesh.nc, 3):  # P1DG: discontinuous points
+            points = coords[cells].reshape(-1, 2)
+            conn = np.arange(3 * mesh.nc).reshape(-1, 3)
+            vals = data.reshape((3 * mesh.nc,) + data.shape[2:])
+        else:  # e.g. P2 CG: write the vertex part only
+            points, conn = coords, cells
+            vals = data[: mesh.nv]
+        fname = f"{self.filename}_{self.next_export_ix:05d}.vtu"
+        self._write_vtu(os.path.join(self.outputdir, fname),
+                        points, conn, function.name or self.filename, vals)
+        t = float(time) if time is not None else float(self.next_export_ix)
+        self._timesteps.append((t, fname))
+        self.next_export_ix += 1
+        self._write_pvd()
+
+    def _write_pvd(self):
+        path = os.path.join(self.outputdir, f"{self.filename}.pvd")
+        with open(path, "w") as f:
+            f.write('<?xml version="1.0"?>\n<VTKFile type="Collection" '
+                    'version="0.1">\n<Collection>\n')
+            for t, fn in self._timesteps:
+                f.write(f'<DataSet timestep="{t}" file="{fn}"/>\n')
+            f.write('</Collection>\n</VTKFile>\n')
+
+
 class ExportManager:
     """Handles export of several fields (ref ``exporter.py:245-386``)."""
 
@@ -112,6 +198,10 @@ class ExportManager:
                 subdir = os.path.join(outputdir, "hdf5")
                 self.exporters[key] = HDF5Exporter(
                     fn.function_space, subdir, meta["filename"]
+                )
+            elif export_type == "vtk":
+                self.exporters[key] = VTKExporter(
+                    fn.function_space, outputdir, meta["filename"]
                 )
             else:
                 self.exporters[key] = NPZExporter(
