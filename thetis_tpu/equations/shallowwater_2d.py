@@ -503,7 +503,10 @@ class ShallowWaterEquations(EquationBase):
             )
 
         if self.options.use_grad_depth_viscosity_term:
-            grad_H = c["bathy_grad_q"] + asm.cell_grads(c["_eta_old_dofs"])
+            grad_eta_old = c.get("eta_old_grad_q")
+            if grad_eta_old is None:
+                grad_eta_old = asm.cell_grads(c["_eta_old_dofs"])
+            grad_H = c["bathy_grad_q"] + grad_eta_old
             # + test . (grad(H)/H . stress)  (ref L613-614)
             B["uv_cell"].add(
                 (grad_H[..., :, None] * stress).sum(-2)

@@ -85,10 +85,11 @@ class FlowSolver2d:
 
     # ------------------------------------------------------------------
     def create_function_spaces(self):
-        """ref ``solver2d.py:307-352``; dg-dg family only (others pending)."""
+        """ref ``solver2d.py:307-352``; dg-dg and dg-cg families."""
         mesh = self.mesh2d
-        assert self.options.element_family == "dg-dg", (
-            "only the dg-dg element family is implemented so far"
+        family = self.options.element_family
+        assert family in ("dg-dg", "dg-cg"), (
+            "element families implemented so far: dg-dg, dg-cg"
         )
         p = self.options.polynomial_degree
         self.function_spaces = type("FS", (), {})()
@@ -97,9 +98,15 @@ class FlowSolver2d:
         fs.P1_2d = FunctionSpace(mesh, "CG", 1)
         fs.P1DG_2d = FunctionSpace(mesh, "DG", 1)
         fs.U_2d = FunctionSpace(mesh, "DG", p, dim=2)
-        fs.H_2d = FunctionSpace(mesh, "DG", p)
+        if family == "dg-cg":
+            # P1DG velocity x P2 CG elevation (ref solver2d.py:318-321)
+            fs.H_2d = FunctionSpace(mesh, "CG", p + 1)
+        else:
+            fs.H_2d = FunctionSpace(mesh, "DG", p)
         fs.Q_2d = FunctionSpace(mesh, "DG", 1)
-        self.asm = DGAssembler(mesh, fs.H_2d)
+        # the assembly context always runs on the degree-p DG space; a CG
+        # elevation (dg-cg) gets its own tabulations in the equation class
+        self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", p))
         self._functions_created = False
 
     def create_fields(self):
@@ -214,11 +221,22 @@ class FlowSolver2d:
                 self.tidal_farms.append(
                     DiscreteTidalTurbineFarm(self.asm, fo, cell_mask=mask)
                 )
-        self.eq_sw = ShallowWaterEquations(
-            self.mesh2d, self.asm, o, bathymetry=bathy,
-            bnd_conditions=self.bnd_functions["shallow_water"],
-            tidal_farms=self.tidal_farms,
-        )
+        if o.element_family == "dg-cg":
+            from ..equations.shallowwater_dgcg import (
+                ShallowWaterEquationsDGCG,
+            )
+            self.eq_sw = ShallowWaterEquationsDGCG(
+                self.mesh2d, self.asm, self.function_spaces.H_2d, o,
+                bathymetry=bathy,
+                bnd_conditions=self.bnd_functions["shallow_water"],
+                tidal_farms=self.tidal_farms,
+            )
+        else:
+            self.eq_sw = ShallowWaterEquations(
+                self.mesh2d, self.asm, o, bathymetry=bathy,
+                bnd_conditions=self.bnd_functions["shallow_water"],
+                tidal_farms=self.tidal_farms,
+            )
         self.depth = self.eq_sw.depth
         if self.solve_nh:
             from ..equations.nh import (
@@ -769,9 +787,13 @@ class FlowSolver2d:
         self.callbacks.add(callback, eval_interval)
 
     def compute_volume_2d(self):
-        return float(self.asm.integrate(self.fields.elev_2d.data)) + (
-            float(self.asm.integrate_cellq(self.eq_sw.bathy_q))
-        )
+        eta = self.fields.elev_2d.data
+        if eta.ndim == 1:  # CG elevation (dg-cg family)
+            eta_int = float(self.asm.integrate_cellq(
+                self.eq_sw.eta_cell_values(eta)))
+        else:
+            eta_int = float(self.asm.integrate(eta))
+        return eta_int + float(self.asm.integrate_cellq(self.eq_sw.bathy_q))
 
     def compute_tracer_mass(self, label):
         eta_q = self.asm.cell_values(self.fields.elev_2d.data)
@@ -781,7 +803,11 @@ class FlowSolver2d:
 
     def print_state(self, cputime, print_header=False):
         """ref ``solver2d.py:923-971``."""
-        norm_eta = float(self.asm.norm_l2(self.fields.elev_2d.data))
+        eta = self.fields.elev_2d.data
+        if eta.ndim == 1:  # CG elevation (dg-cg family)
+            norm_eta = float(self.eq_sw.norm_elev(eta))
+        else:
+            norm_eta = float(self.asm.norm_l2(eta))
         norm_uv = float(self.asm.norm_l2(self.fields.uv_2d.data))
         line = (
             "{iexp:5d} {i:5d} T={t:10.2f} eta norm: {e:10.4f} "
