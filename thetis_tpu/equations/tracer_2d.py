@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .base import Bucket, EquationBase, facet_quad_value, facet_quad_value_2s
 
-__all__ = ["TracerEquation2D"]
+__all__ = ["TracerEquation2D", "TracerEquation2DCG"]
 
 
 class TracerEquation2D(EquationBase):
@@ -342,3 +342,136 @@ class TracerEquation2D(EquationBase):
 
     def mass_inverse(self, r):
         return {l: self.asm.mass_inverse(r[l]) for l in self.labels}
+
+
+class TracerEquation2DCG(TracerEquation2D):
+    """CG tracer family with optional SUPG stabilization (ref
+    ``tracer_eq_2d.py:448-501``, ``options.py`` ``tracer_element_family=
+    'cg'`` + ``use_supg_tracer``).
+
+    CG1 shares the P1 local basis with P1DG, so every term is inherited
+    unchanged: the solution is converted to cell-node layout, the DG
+    projection produces per-cell test contributions, and a scatter-add
+    over the cell->vertex map assembles the continuous residual (interior
+    facet fluxes are antisymmetric per side and cancel in the scatter;
+    SIPG jump penalties vanish identically since CG traces agree).
+
+    SUPG modifies the test function t -> t + tau u.grad(t) with
+    tau = 0.5 h / U capped by Pe/3 (ref ``tracer_eq_2d.py:490-501``);
+    for P1 the second-derivative terms vanish, so the stabilization acts
+    on the cell (strong-form) accumulator only.  The mass matrix keeps
+    the unmodified test (lumped-SUPG simplification)."""
+
+    def __init__(self, mesh, asm, options, bathymetry, labels,
+                 bnd_conditions=None, depth=None):
+        super().__init__(mesh, asm, options, bathymetry, labels,
+                         bnd_conditions=bnd_conditions, depth=depth)
+        self.nv = mesh.nv
+        self.cells = mesh.cells
+        self.use_supg = bool(getattr(options, "use_supg_tracer", False))
+        # cell-constant physical P1 test gradients (nc, 3, 2)
+        dphi = np.asarray(asm.space._tab_np["dphi"])[0]
+        self.gp1 = jnp.asarray(
+            np.einsum("dj,cji->cdi", dphi, np.asarray(mesh.Jinv)))
+        # SUPG tau per cell (ref L490-501): 0.5 h / U, capped by Pe/3
+        U = float(getattr(options, "horizontal_velocity_scale", 0.1) or 0.1)
+        D = float(getattr(options, "horizontal_diffusivity_scale", 0.0) or 0.0)
+        h = np.asarray(mesh.cell_hmin_np)
+        tau = 0.5 * h / max(U, 1e-12)
+        if D > 0:
+            pe = 0.5 * U * h / D
+            tau = np.minimum(tau, pe / 3.0)
+        self._tau = jnp.asarray(tau)
+        # lumped CG1 mass
+        ml_cell = np.einsum("q,qd->d", np.asarray(asm.space._tab_np["qw"]),
+                            np.asarray(asm.space._tab_np["phi"]))
+        lumped = np.zeros(mesh.nv)
+        np.add.at(lumped, np.asarray(mesh.cells_np).ravel(),
+                  (ml_cell[None, :] * np.asarray(mesh.detJ_np)[:, None]
+                   ).ravel())
+        self._lumped = jnp.asarray(lumped)
+
+    # -- CG assembly helpers --------------------------------------------
+    def _to_cells(self, sol):
+        return {l: sol[l][self.cells] for l in self.labels}
+
+    def _scatter(self, local):
+        return jnp.zeros(self.nv, dtype=local.dtype).at[self.cells].add(local)
+
+    def residual(self, label, solution, solution_old, fields, fields_old,
+                 bnd_values):
+        sol_c = self._to_cells(solution)
+        sol_old_c = self._to_cells(solution_old)
+        c = self.build_context(sol_c, sol_old_c, fields, bnd_values)
+        c["_dofs"] = sol_c
+        B = {}
+        for l in self.labels:
+            for kind in ("_cell", "_grad", "_facet", "_fgrad"):
+                B[l + kind] = Bucket()
+        for _, method in self.select_terms(label):
+            method(c, B)
+        asm = self.asm
+        out = {}
+        for l in self.labels:
+            r = jnp.zeros((self.mesh.nc, asm.ndofs))
+            if B[l + "_cell"]:
+                r += asm.cell_to_dofs(B[l + "_cell"].val)
+            if self.use_supg and "uv_q" in c:
+                # streamline stabilization: test the strong-form advective
+                # residual -u.grad(c) against tau u.grad(t) (for P1 the
+                # diffusive second derivatives vanish; the dc/dt part is
+                # omitted -- lumped-SUPG simplification)
+                uq = c["uv_q"]                             # (nc, nq, 2)
+                gradc = asm.cell_grads(sol_c[l])           # (nc, nq, 2)
+                strong = -(uq * gradc).sum(-1)             # (nc, nq)
+                ug = jnp.einsum("cqi,cdi->cqd", uq, self.gp1)
+                r += self._tau[:, None] * jnp.einsum(
+                    "cq,cq,cqd->cd", strong, asm.wdetJ, ug)
+            if B[l + "_grad"]:
+                r += asm.grad_to_dofs(B[l + "_grad"].val)
+            if B[l + "_facet"] and B[l + "_fgrad"]:
+                r += asm.facet_fgrad_to_dofs(B[l + "_facet"].val,
+                                             B[l + "_fgrad"].val)
+            elif B[l + "_facet"]:
+                r += asm.facet_to_dofs(B[l + "_facet"].val)
+            elif B[l + "_fgrad"]:
+                r += asm.fgrad_to_dofs(B[l + "_fgrad"].val)
+            out[l] = self._scatter(r)
+        return out
+
+    def _cg_mass_apply(self, v):
+        return self._scatter(self.asm.mass_apply(v[self.cells]))
+
+    def _cg_mass_pcg(self, r, iters=25):
+        from jax import lax
+        Ml = self._lumped
+
+        def body(carry, _):
+            x, p, res, rz = carry
+            Ap = self._cg_mass_apply(p)
+            alpha = rz / jnp.maximum((p * Ap).sum(), 1e-300)
+            x = x + alpha * p
+            res = res - alpha * Ap
+            z = res / Ml
+            rz_new = (res * z).sum()
+            p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
+            return (x, p, res, rz_new), None
+
+        x0 = r / Ml
+        res0 = r - self._cg_mass_apply(x0)
+        z0 = res0 / Ml
+        (x, _, _, _), _ = lax.scan(
+            body, (x0, z0, res0, (res0 * z0).sum()), None, length=iters)
+        return x
+
+    def mass_term(self, solution):
+        return {l: self._cg_mass_apply(solution[l]) for l in self.labels}
+
+    def mass_inverse(self, r):
+        from jax import lax
+        return {
+            l: lax.custom_linear_solve(
+                self._cg_mass_apply, r[l],
+                solve=lambda mv, b: self._cg_mass_pcg(b), symmetric=True)
+            for l in self.labels
+        }

@@ -103,7 +103,10 @@ class FlowSolver2d:
             fs.H_2d = FunctionSpace(mesh, "CG", p + 1)
         else:
             fs.H_2d = FunctionSpace(mesh, "DG", p)
-        fs.Q_2d = FunctionSpace(mesh, "DG", 1)
+        if self.options.tracer_element_family == "cg":
+            fs.Q_2d = FunctionSpace(mesh, "CG", 1)
+        else:
+            fs.Q_2d = FunctionSpace(mesh, "DG", 1)
         # the assembly context always runs on the degree-p DG space; a CG
         # elevation (dg-cg) gets its own tabulations in the equation class
         self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", p))
@@ -262,13 +265,17 @@ class FlowSolver2d:
             )
         if self.solve_tracer:
             bnd_tr = self.bnd_functions["tracer"]
-            self.eq_tracer = TracerEquation2D(
+            from ..equations.tracer_2d import TracerEquation2DCG
+            tracer_cls = (TracerEquation2DCG
+                          if o.tracer_element_family == "cg"
+                          else TracerEquation2D)
+            self.eq_tracer = tracer_cls(
                 self.mesh2d, self.asm, o, bathymetry=bathy,
                 labels=self.tracer_labels, bnd_conditions=bnd_tr,
                 depth=self.depth,
             )
         if self.solve_tracer or self.solve_sediment:
-            if o.use_limiter_for_tracers:
+            if o.use_limiter_for_tracers and o.tracer_element_family != "cg":
                 self.tracer_limiter = VertexBasedP1DGLimiter(
                     self.function_spaces.Q_2d
                 )
@@ -733,6 +740,9 @@ class FlowSolver2d:
                 self.function_spaces.U_2d, uv
             )
         for label, value in tracers.items():
+            if label == "tracer" and "tracer_2d" in self.tracer_labels:
+                # reference alias: assign_initial_conditions(tracer=...)
+                label = "tracer_2d"
             if label in self.tracer_labels or (
                 label == "sediment_2d" and self.solve_sediment
             ):
