@@ -122,3 +122,44 @@ def test_farm_power_gradient():
     rf = ReducedFunctional(forward, Control(d0), scale=-1e-6)
     minconv = taylor_test(rf, d0.data, 0.01 * jnp.ones_like(d0.data), h0=0.04)
     assert minconv > 1.90
+
+
+def test_rotor_shear_averaging():
+    """Power-law shear rotor averaging (ref ``turbines.py:60-84``): with
+    the hub at z = beta*depth the cube-weighted average reduces to ~the
+    hub speed; a lower hub sees slower flow, a floating (near-surface)
+    hub faster."""
+    import jax.numpy as jnp
+    from thetis_tpu.model.turbines import (
+        TidalTurbineOptions, ConstantThrustTurbine,
+    )
+
+    depth = jnp.full((5, 4), 40.0)
+    uv = jnp.stack([jnp.full((5, 4), 2.0), jnp.zeros((5, 4))], axis=-1)
+
+    def turbine(hub, structure="bottom-fixed"):
+        o = TidalTurbineOptions(diameter=10.0, thrust_coefficient=0.8)
+        o.apply_shear_profile = True
+        o.rel_hub_height = hub
+        o.structure_type = structure
+        return ConstantThrustTurbine(o)
+
+    t_hub = turbine(0.4 * 40.0)       # hub at beta*depth: u_eff ~ |uv|
+    u_eff = t_hub.rotor_averaged_velocity(uv, depth)
+    assert u_eff.shape == (5, 4)
+    assert abs(float(u_eff[0, 0]) - 2.0) < 0.05
+
+    t_low = turbine(8.0)
+    u_low = float(t_low.rotor_averaged_velocity(uv, depth)[0, 0])
+    assert u_low < 2.0
+
+    t_float = turbine(6.0, "floating")  # hub 6 m below the surface
+    u_float = float(t_float.rotor_averaged_velocity(uv, depth)[0, 0])
+    assert u_float > u_low
+
+    # power/friction use the effective speed and stay finite
+    p = t_low.power(uv, depth)
+    cd = t_low.friction_coefficient(uv, depth)
+    assert jnp.isfinite(p).all() and jnp.isfinite(cd).all()
+    p0 = turbine(0.4 * 40.0).power(uv, depth)
+    assert float(p[0, 0]) < float(p0[0, 0])

@@ -73,15 +73,61 @@ class DiscreteTidalTurbineFarmOptions(TidalTurbineFarmOptions):
         super().__init__(**kw)
 
 
+#: hardcoded rotor-disc vertical sampling weights (ref ``turbines.py:29-34``)
+ROTOR_WEIGHTINGS = np.array([0.052, 0.0903, 0.1099, 0.1212, 0.1266,
+                             0.1266, 0.1212, 0.1099, 0.0903, 0.052])
+
+
 class TidalTurbine:
     """ref ``turbines.py:17-93``."""
 
-    def __init__(self, options, upwind_correction=False):
+    def __init__(self, options, upwind_correction=False,
+                 rotor_weightings=None):
         self.diameter = options.diameter
         self.projected_diameter = options.projected_diameter or self.diameter
         self.C_support = options.C_support
         self.A_support = options.A_support
         self.upwind_correction = upwind_correction
+        self.apply_shear_profile = bool(
+            getattr(options, "apply_shear_profile", False))
+        self.shear_alpha = float(getattr(options, "shear_alpha", 7.0))
+        self.shear_beta = float(getattr(options, "shear_beta", 0.4))
+        self.rel_hub_height = getattr(options, "rel_hub_height", None)
+        self.structure_type = getattr(options, "structure_type",
+                                      "bottom-fixed")
+        self.rotor_weightings = np.asarray(
+            rotor_weightings if rotor_weightings is not None
+            else ROTOR_WEIGHTINGS)
+
+    def rotor_averaged_velocity(self, uv, depth):
+        """Cube-weighted rotor-disc average of a power-law shear profile
+        (ref ``turbines.py:60-84``): returns an effective SPEED (scalar
+        per site)."""
+        if not self.apply_shear_profile:
+            return uv
+        if self.rel_hub_height is None:
+            raise ValueError(
+                "`rel_hub_height` must be specified when applying a "
+                "shear profile.")
+        if self.structure_type == "bottom-fixed":
+            hub = self.rel_hub_height          # height above seabed
+        elif self.structure_type == "floating":
+            hub = depth - self.rel_hub_height  # depth below free surface
+        else:
+            raise ValueError(
+                f"Unknown turbine structure type '{self.structure_type}'")
+        N = len(self.rotor_weightings)
+        offs = jnp.asarray(np.linspace(-self.diameter / 2,
+                                       self.diameter / 2, N))
+        w = jnp.asarray(self.rotor_weightings)
+        shape = jnp.shape(depth) if hasattr(depth, "shape") else ()
+        z_vals = (jnp.asarray(hub) + offs.reshape((N,) + (1,) * len(shape)))
+        umag = jnp.sqrt(jnp.maximum((uv**2).sum(-1), 1e-28))
+        u_samples = umag[None] * (
+            z_vals / (self.shear_beta * depth)[None]) ** (1.0 / self.shear_alpha)
+        return (jnp.sum(u_samples**3
+                        * w.reshape((N,) + (1,) * len(shape)),
+                        axis=0)) ** (1.0 / 3.0)
 
     def _thrust_area(self, uv):
         C_T = self.thrust_coefficient(uv)
@@ -100,15 +146,24 @@ class TidalTurbine:
         return 1.0
 
     def friction_coefficient(self, uv, depth):
-        thrust_area = self._thrust_area(uv)
-        alpha = self.velocity_correction(uv, depth)
+        if self.apply_shear_profile:
+            u_eff = self.rotor_averaged_velocity(uv, depth)  # speed
+            thrust_area = self._thrust_area(u_eff)
+            alpha = self.velocity_correction(u_eff, depth)
+        else:
+            thrust_area = self._thrust_area(uv)
+            alpha = self.velocity_correction(uv, depth)
         return thrust_area / 2.0 / alpha**2
 
     def power(self, uv, depth):
         """Power density expression at quadrature points (W per turbine)."""
         alpha = self.velocity_correction(uv, depth)
         A_T = np.pi * self.diameter**2 / 4
-        uv3 = ((uv**2).sum(-1)) ** 1.5 / alpha**3
+        if self.apply_shear_profile:
+            u_eff = self.rotor_averaged_velocity(uv, depth)
+            uv3 = u_eff**3 / alpha**3
+        else:
+            uv3 = ((uv**2).sum(-1)) ** 1.5 / alpha**3
         C_P = self.power_coefficient(uv3 ** (1.0 / 3.0))
         return 0.5 * physical_constants["rho0"] * A_T * C_P * uv3
 
