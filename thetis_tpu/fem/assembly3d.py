@@ -219,38 +219,74 @@ class Assembler3D:
         return jnp.stack([r_bot, r_top], axis=3)  # (nc,3,nz,2,...)
 
     # -- mass ------------------------------------------------------------
-    def mass_matrices(self, geom):
-        """Per-(cell,layer) 6x6 mass matrices and inverses; thickness
-        varies over the triangle so these are assembled by quadrature
-        (the reference re-assembles mass on the moving mesh too,
-        ``timeintegrator.py:589-596``)."""
+    def _mass_factors(self, geom):
+        """The prism mass matrix is an exact Kronecker product
+        M = Mh(c, l) (x) Mv: the horizontal 3x3 block weighted by the
+        layer thickness, times the constant vertical 2x2 block.  Keeping
+        it factored avoids ever forming (or inverting) the 6x6 matrices —
+        a batched ``linalg.inv`` on (nc*nz) 6x6 blocks measured ~65 ms on
+        TPU v5e vs <1 ms for the factored closed form."""
         asm = self.asm2d
         w2 = asm.space.qw[None, :] * self.mesh.detJ[:, None]  # (nc, nq)
         phi = asm.space.phi  # (nq,3)
         Mh = jnp.einsum(
             "cq,clq,qa,qb->clab", w2, geom["Delta_q"], phi, phi
-        )  # (nc,nz,3,3) horizontal blocks weighted by thickness
+        )  # (nc,nz,3,3)
         Mv = jnp.einsum("v,vp,vr->pr", self.wv, self.psi, self.psi)  # (2,2)
+        return Mh, Mv
+
+    @staticmethod
+    def _inv3(A):
+        """Closed-form batched 3x3 inverse (adjugate / determinant)."""
+        a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+        d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+        g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+        A11 = e * i - f * h
+        A12 = c * h - b * i
+        A13 = b * f - c * e
+        A21 = f * g - d * i
+        A22 = a * i - c * g
+        A23 = c * d - a * f
+        A31 = d * h - e * g
+        A32 = b * g - a * h
+        A33 = a * e - b * d
+        det = a * A11 + b * A21 + c * A31
+        adj = jnp.stack([
+            jnp.stack([A11, A12, A13], axis=-1),
+            jnp.stack([A21, A22, A23], axis=-1),
+            jnp.stack([A31, A32, A33], axis=-1),
+        ], axis=-2)
+        return adj / det[..., None, None]
+
+    @staticmethod
+    def _inv2(A):
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        c, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b * c
+        return jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+
+    def _kron_apply(self, Mh, Mv, u):
+        """Apply (Mh (x) Mv) to u with axes (c, node, layer, vnode[, k])."""
+        t = jnp.einsum("clab,cblp...->calp...", Mh, u)
+        return jnp.einsum("pr,calr...->calp...", Mv, t)
+
+    def mass_matrices(self, geom):
+        """Dense per-(cell,layer) 6x6 mass matrices (kept for
+        inspection/tests; the hot path uses the Kronecker factors)."""
+        Mh, Mv = self._mass_factors(geom)
         M = jnp.einsum("clab,pr->clapbr", Mh, Mv)  # (nc,nz,3,2,3,2)
-        M6 = M.reshape(M.shape[0], M.shape[1], 6, 6)
-        return M6
+        return M.reshape(M.shape[0], M.shape[1], 6, 6)
 
     def mass_apply(self, u, geom):
-        M6 = self.mass_matrices(geom)
-        nc, _, nz, _ = u.shape[:4]
-        tail = u.shape[4:]
-        uflat = jnp.moveaxis(u, 2, 1).reshape(nc, nz, 6, *tail)
-        r = jnp.einsum("clab,clb...->cla...", M6, uflat)
-        return jnp.moveaxis(r.reshape(nc, nz, 3, 2, *tail), 1, 2)
+        Mh, Mv = self._mass_factors(geom)
+        return self._kron_apply(Mh, Mv, u)
 
     def mass_inverse(self, r, geom):
-        M6 = self.mass_matrices(geom)
-        Minv = jnp.linalg.inv(M6)
-        nc, _, nz = r.shape[:3]
-        tail = r.shape[4:]
-        rflat = jnp.moveaxis(r, 2, 1).reshape(nc, nz, 6, *tail)
-        x = jnp.einsum("clab,clb...->cla...", Minv, rflat)
-        return jnp.moveaxis(x.reshape(nc, nz, 3, 2, *tail), 1, 2)
+        Mh, Mv = self._mass_factors(geom)
+        return self._kron_apply(self._inv3(Mh), self._inv2(Mv), r)
 
     # -- vertical operators (ref utility3d.py) ---------------------------
     def vertical_integral(self, u, geom, average=False):
