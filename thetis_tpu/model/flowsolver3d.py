@@ -500,6 +500,17 @@ class FlowSolver:
         self._step = step
         self._step_jit = jax.jit(step)
 
+        def advance_n(state, swe_fields, bnd_sw, n):
+            # scan fast path: the whole export interval runs device-side in
+            # one jitted call (a python feedback loop over the remote-TPU
+            # tunnel pays a per-call round trip measured at >1 s/step)
+            return jax.lax.scan(
+                lambda c, _: (step(c, swe_fields, bnd_sw), None),
+                state, None, length=n,
+            )[0]
+
+        self._advance_n_jit = jax.jit(advance_n, static_argnames=("n",))
+
     # ------------------------------------------------------------------
     def _get_state(self):
         f = self.fields
@@ -560,13 +571,22 @@ class FlowSolver:
         bnd_sw = {}
         next_export = self.simulation_time + o.simulation_export_time
         self._print_state(state)
+        use_scan = update_forcings is None
         while self.simulation_time <= o.simulation_end_time - 1e-5:
-            if update_forcings is not None:
+            if use_scan:
+                # whole export interval in one device-side scan
+                n = max(1, int(round(
+                    (min(next_export, o.simulation_end_time + self.dt)
+                     - self.simulation_time) / self.dt)))
+                state = self._advance_n_jit(state, swe_fields, bnd_sw, n)
+                self.iteration += n
+                self.simulation_time += n * self.dt
+            else:
                 update_forcings(self.simulation_time + self.dt)
                 swe_fields = self._gather_swe_fields()
-            state = self._step_jit(state, swe_fields, bnd_sw)
-            self.iteration += 1
-            self.simulation_time += self.dt
+                state = self._step_jit(state, swe_fields, bnd_sw)
+                self.iteration += 1
+                self.simulation_time += self.dt
             if self.simulation_time >= next_export - 1e-5:
                 self.i_export += 1
                 next_export += o.simulation_export_time
