@@ -90,6 +90,8 @@ class FlowSolver:
         if options is not None:
             self.options.update(options)
         self.bathymetry_input = bathymetry_2d
+        self.bnd_functions = {"shallow_water": {}, "momentum": {},
+                              "salt": {}, "temp": {}}
         self.simulation_time = 0.0
         self.iteration = 0
         self.i_export = 0
@@ -568,7 +570,7 @@ class FlowSolver:
         o = self.options
         state = self._get_state()
         swe_fields = self._gather_swe_fields()
-        bnd_sw = {}
+        bnd_sw = self._gather_bnd_sw()
         next_export = self.simulation_time + o.simulation_export_time
         self._print_state(state)
         use_scan = update_forcings is None
@@ -584,6 +586,7 @@ class FlowSolver:
             else:
                 update_forcings(self.simulation_time + self.dt)
                 swe_fields = self._gather_swe_fields()
+                bnd_sw = self._gather_bnd_sw()
                 state = self._step_jit(state, swe_fields, bnd_sw)
                 self.iteration += 1
                 self.simulation_time += self.dt
@@ -595,6 +598,14 @@ class FlowSolver:
                 if export_func is not None:
                     export_func()
         self._set_state(state)
+
+    def _gather_bnd_sw(self):
+        from .flowsolver2d import _value
+        return {
+            int(m): {k: _value(v) for k, v in spec.items()}
+            for m, spec in self.bnd_functions.get(
+                "shallow_water", {}).items()
+        }
 
     def _print_state(self, state):
         asm = self.asm
