@@ -10,7 +10,8 @@ import jax.numpy as jnp
 
 from .config import physical_constants
 from .mesh.mesh2d import Mesh2d
-from .mesh.generation import RectangleMesh, UnitSquareMesh, SquareMesh
+from .mesh.generation import (RectangleMesh, UnitSquareMesh, SquareMesh,
+                              PeriodicRectangleMesh)
 from .fem.functionspace import (
     FunctionSpace,
     VectorFunctionSpace,
@@ -70,6 +71,7 @@ def as_vector(components):
 
 __all__ = [  # noqa: F822
     "physical_constants", "Mesh2d", "RectangleMesh", "UnitSquareMesh",
+    "PeriodicRectangleMesh",
     "SquareMesh", "FunctionSpace", "VectorFunctionSpace", "Function",
     "SpatialCoordinate", "get_functionspace", "DGAssembler", "Constant",
     "print_output", "set_log_directory", "ModelOptions2d",

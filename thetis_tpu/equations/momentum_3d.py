@@ -125,7 +125,13 @@ class MomentumEquation3D(EquationBase):
         if cor is None:
             return
         f = jnp.asarray(cor)
-        uv = c["uv_q"]
+        uv = c["uv_q"]  # (nc, nz, nq, nqv, 2)
+        if f.ndim == 1 and f.shape[0] == self.mesh.nv:
+            # CG1 vertex field: evaluate at the horizontal quad points and
+            # broadcast over (nz, nqv)
+            f = self.asm3d.asm2d.cell_values(
+                f[self.mesh.cells]
+            )[:, None, :, None]  # (nc, 1, nq, 1)
         B["cell"].add(
             jnp.stack([f * uv[..., 1], -f * uv[..., 0]], axis=-1)
         )

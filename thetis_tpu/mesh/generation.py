@@ -8,7 +8,8 @@ import numpy as np
 
 from .mesh2d import Mesh2d
 
-__all__ = ["RectangleMesh", "UnitSquareMesh", "SquareMesh"]
+__all__ = ["RectangleMesh", "UnitSquareMesh", "SquareMesh",
+           "PeriodicRectangleMesh"]
 
 
 def RectangleMesh(nx, ny, lx, ly, originX=0.0, originY=0.0, name="rectangle"):
@@ -55,3 +56,43 @@ def SquareMesh(nx, ny, l, name="square"):
 
 def UnitSquareMesh(nx, ny, name="unitsquare"):
     return RectangleMesh(nx, ny, 1.0, 1.0, name=name)
+
+
+def PeriodicRectangleMesh(nx, ny, lx, ly, direction="x",
+                          name="periodic_rectangle"):
+    """Rectangle periodic in x (Firedrake's ``PeriodicRectangleMesh``
+    analogue for ``direction='x'``): the last column of vertices wraps to
+    the first, so seam facets are ordinary interior facets; geometry uses
+    seam-aware coordinate differences (``Mesh2d(periodic_x_len=lx)``).
+    Boundary markers: 1 = y=0, 2 = y=ly (the reference's x-periodic
+    rectangle keeps ids 1/2 for the remaining boundaries)."""
+    assert direction == "x", "only x-periodicity is implemented"
+    x = np.arange(nx) * (lx / nx)
+    y = np.linspace(0.0, ly, ny + 1)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return (i % nx) * (ny + 1) + j
+
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    i = i.ravel()
+    j = j.ravel()
+    v00 = vid(i, j)
+    v10 = vid(i + 1, j)
+    v01 = vid(i, j + 1)
+    v11 = vid(i + 1, j + 1)
+    tri1 = np.stack([v00, v10, v11], axis=1)
+    tri2 = np.stack([v00, v11, v01], axis=1)
+    cells = np.concatenate([tri1, tri2], axis=0).astype(np.int32)
+
+    eps_y = ly * 1e-10 + 1e-300
+
+    def markers(mid):
+        m = np.zeros(len(mid), dtype=np.int32)
+        m[np.abs(mid[:, 1]) < eps_y] = 1
+        m[np.abs(mid[:, 1] - ly) < eps_y] = 2
+        return m
+
+    return Mesh2d(coords, cells, boundary_markers=markers, name=name,
+                  periodic_x_len=lx)

@@ -30,7 +30,8 @@ __all__ = ["Mesh2d"]
 
 
 class Mesh2d:
-    def __init__(self, coords, cells, boundary_markers=None, name="mesh2d"):
+    def __init__(self, coords, cells, boundary_markers=None, name="mesh2d",
+                 periodic_x_len=None):
         """
         :arg coords: (nv, 2) float vertex coordinates
         :arg cells: (nc, 3) int vertex indices
@@ -38,6 +39,10 @@ class Mesh2d:
             ``(v0, v1, marker)`` rows, or a callable ``f(midpoints) ->
             markers`` evaluated at boundary-edge midpoints.  Unmarked
             boundary facets get marker 0 treated as land.
+        :arg periodic_x_len: if set, the mesh is periodic in x with this
+            period: all coordinate *differences* used in the geometry are
+            unwrapped modulo the period (cells straddling the seam share
+            vertex ids, so facet topology is periodic automatically).
         """
         coords = np.asarray(coords, dtype=np.float64)
         cells = np.asarray(cells, dtype=np.int32)
@@ -46,12 +51,13 @@ class Mesh2d:
         self.name = name
         self.coords_np = coords
         self.nv = len(coords)
+        self.periodic_x_len = periodic_x_len
 
-        # enforce CCW orientation
+        # enforce CCW orientation (seam-aware differences)
         p = coords[cells]
-        det = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
-            p[:, 2, 0] - p[:, 0, 0]
-        ) * (p[:, 1, 1] - p[:, 0, 1])
+        d1 = self._wrap_dx(p[:, 1] - p[:, 0])
+        d2 = self._wrap_dx(p[:, 2] - p[:, 0])
+        det = d1[:, 0] * d2[:, 1] - d2[:, 0] * d1[:, 1]
         flip = det < 0
         cells = cells.copy()
         cells[flip] = cells[flip][:, [0, 2, 1]]
@@ -180,13 +186,24 @@ class Mesh2d:
         self.boundary_markers = sorted(int(m) for m in np.unique(markers[bnd_ids])) if len(bnd_ids) else []
 
     # ------------------------------------------------------------------
+    def _wrap_dx(self, d):
+        """Unwrap x-components of coordinate differences on a periodic
+        mesh (shortest representative modulo the period)."""
+        if self.periodic_x_len is None:
+            return d
+        L = self.periodic_x_len
+        d = d.copy()
+        d[..., 0] -= L * np.round(d[..., 0] / L)
+        return d
+
     def _build_geometry(self):
         coords, cells = self.coords_np, self.cells_np
         p0 = coords[cells[:, 0]]
         p1 = coords[cells[:, 1]]
         p2 = coords[cells[:, 2]]
         # Jacobian of x = p0 + J @ (xi, eta)
-        J = np.stack([p1 - p0, p2 - p0], axis=2)  # (nc, 2, 2), columns
+        J = np.stack([self._wrap_dx(p1 - p0), self._wrap_dx(p2 - p0)],
+                     axis=2)  # (nc, 2, 2), columns
         detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
         assert np.all(detJ > 0), "degenerate or mis-oriented cells"
         Jinv = np.empty_like(J)
@@ -199,7 +216,7 @@ class Mesh2d:
         self.cell_area_np = 0.5 * detJ
 
         fv = self.facet_verts_np
-        e = coords[fv[:, 1]] - coords[fv[:, 0]]
+        e = self._wrap_dx(coords[fv[:, 1]] - coords[fv[:, 0]])
         flen = np.linalg.norm(e, axis=1)
         # outward normal of the side-0 (CCW) cell: rotate edge -90 degrees
         normal = np.stack([e[:, 1], -e[:, 0]], axis=1) / flen[:, None]
@@ -215,9 +232,9 @@ class Mesh2d:
         # cell size: sqrt(2*area) analogue of CellSize; also min edge length
         edges = np.stack(
             [
-                np.linalg.norm(p1 - p0, axis=1),
-                np.linalg.norm(p2 - p1, axis=1),
-                np.linalg.norm(p0 - p2, axis=1),
+                np.linalg.norm(self._wrap_dx(p1 - p0), axis=1),
+                np.linalg.norm(self._wrap_dx(p2 - p1), axis=1),
+                np.linalg.norm(self._wrap_dx(p0 - p2), axis=1),
             ],
             axis=1,
         )

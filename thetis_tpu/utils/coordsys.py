@@ -148,3 +148,15 @@ def get_vector_rotator(coordsys, lon, lat):
         return vx, vy
 
     return rotator
+
+
+def beta_plane_coriolis_params(latitude):
+    """f0, beta for a beta-plane approximation at the given latitude in
+    degrees (ref ``coordsys.py`` beta_plane_coriolis_params):
+    f0 = 2 Omega sin(phi), beta = 2 Omega cos(phi) / R_earth."""
+    omega = 7.2921150e-5  # Earth's angular velocity (rad/s)
+    r_earth = 6371.0e3    # mean Earth radius (m)
+    phi = np.deg2rad(latitude)
+    f0 = 2.0 * omega * np.sin(phi)
+    beta = 2.0 * omega * np.cos(phi) / r_earth
+    return f0, beta
