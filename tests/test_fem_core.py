@@ -98,3 +98,48 @@ def test_cg_space(mesh):
     assert float(asm.integrate_cellq(vals)) == pytest.approx(
         (2.0**2 / 2) * 1.5 + (1.5**2 / 2) * 2.0, rel=1e-13
     )
+
+
+def test_form2indicator_and_dwr():
+    """Cell indicators: form2indicator integrates a 0-form per cell
+    (sums to the global integral); the DWR estimator flags the cells
+    where residual x adjoint pairing is largest."""
+    import jax.numpy as jnp
+    from thetis_tpu import RectangleMesh, FunctionSpace, Function, solver2d
+    from thetis_tpu.model.diagnostics import form2indicator, DWRErrorEstimator
+
+    mesh = RectangleMesh(8, 4, 2.0, 1.0)
+    V = FunctionSpace(mesh, "DG", 1)
+    f = Function(V).interpolate(lambda x, y: 1.0 + x * y)
+    so_mesh_asm = None
+
+    p1 = FunctionSpace(mesh, "CG", 1)
+    bath = Function(p1).assign(5.0)
+    so = solver2d.FlowSolver2d(mesh, bath)
+    so.options.timestep = 0.1
+    so.options.simulation_export_time = 1.0
+    so.options.simulation_end_time = 1.0
+    so.options.no_exports = True
+    so.assign_initial_conditions(
+        elev=Function(p1).interpolate(lambda x, y: 0.1 * np.exp(
+            -(((x - 1.0) / 0.3) ** 2)))
+    )
+    so.initialize()
+    asm = so.asm
+
+    ind = form2indicator(asm, asm.cell_values(f.data))
+    assert ind.shape == (mesh.nc,)
+    assert abs(float(ind.sum()) - float(asm.integrate(f.data))) < 1e-12
+
+    est = DWRErrorEstimator(so)
+    st = so._get_state()
+    adj = {"uv": jnp.ones_like(st["uv"]), "elev": jnp.ones_like(st["elev"])}
+    eta_k = est.compute({"uv": st["uv"], "elev": st["elev"]}, adj)
+    assert eta_k.shape == (mesh.nc,)
+    assert np.isfinite(np.asarray(eta_k)).all()
+    # the residual concentrates where the free surface gradient is:
+    # cells near the bump (x ~ 1) carry more indicator than the far field
+    e = np.asarray(eta_k)
+    xc = np.asarray(mesh.cell_midpoints())[:, 0]
+    near = np.abs(xc - 1.0) < 0.4
+    assert e[near].mean() > 2.0 * e[~near].mean()

@@ -115,3 +115,42 @@ class KineticEnergyCalculator:
         H_q = self.depth.total_depth(self.bathy_q, eta_q)
         e = 0.5 * self.density * H_q * (uv_q**2).sum(-1)
         return self.asm.integrate_cellq(e)
+
+
+def form2indicator(asm, integrand_q):
+    """Cell-wise contributions of a 0-form (ref ``utility.py:1110-1135``
+    ``form2indicator``): multiply the integrand by a P0 test function and
+    assemble, i.e. integrate per cell.
+
+    :arg integrand_q: (nc, nq) quad-point values of the integrand
+    :returns: (nc,) per-cell indicator (P0 field)
+    """
+    return (integrand_q * asm.wdetJ).sum(axis=1)
+
+
+class DWRErrorEstimator:
+    """Dual-weighted-residual error indicator for the 2D SWE (the
+    reference exposes DWR-style indicators through ``form2indicator`` on
+    the residual weighted by an adjoint solution): eta_K = | <R(u), z> |_K
+    where R is the strong-form-weighted weak residual restricted to cell
+    K and z an adjoint (weight) state."""
+
+    def __init__(self, solver_obj):
+        self.solver = solver_obj
+        self.asm = solver_obj.asm
+        self.eq = solver_obj.eq_sw
+
+    def compute(self, state, adjoint_state, fields=None, bnd_values=None):
+        """(state dict, adjoint dict with 'uv'/'elev') -> (nc,) indicator.
+
+        The residual is evaluated in dof space (mass-normalized), paired
+        with the adjoint dofs cell-wise, and the absolute per-cell pairing
+        is returned as the indicator."""
+        import jax.numpy as jnp
+
+        fields = fields or {}
+        r = self.eq.residual("all", state, state, fields, fields,
+                             bnd_values or {})
+        pair_uv = (r["uv"] * adjoint_state["uv"]).sum(axis=(1, 2))
+        pair_eta = (r["elev"] * adjoint_state["elev"]).sum(axis=1)
+        return jnp.abs(pair_uv + pair_eta)
