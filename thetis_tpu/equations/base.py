@@ -113,7 +113,8 @@ class EquationBase:
         mesh = self.mesh
         marker = mesh.facet_marker_np
         is_bnd = mesh.facet_is_boundary_np
-        open_keys = ("elev", "uv", "un", "flux", "value", "equilibrium")
+        open_keys = ("elev", "uv", "un", "flux", "value", "equilibrium",
+                     "symm")
         self.open_markers = [
             m
             for m, keys in sorted(self.bnd_keys.items())
@@ -126,10 +127,14 @@ class EquationBase:
         self.mask_land = jnp.asarray(is_bnd & ~mask_open)
         self.mask_bnd = jnp.asarray(is_bnd)
         self.mask_int = jnp.asarray(~is_bnd)
+        # Partition sub-meshes keep a (possibly all-False) mask for every
+        # marker so the traced structure is identical across devices
+        # (shard_map traces one function for the whole device mesh).
+        keep_all = getattr(mesh, "keep_all_marker_masks", False)
         self.marker_masks = {
             m: jnp.asarray(is_bnd & (marker == m))
             for m in sorted(self.bnd_keys)
-            if (is_bnd & (marker == m)).any()
+            if keep_all or (is_bnd & (marker == m)).any()
         }
         # drop BC specs on markers absent from this mesh partition
         self.bnd_keys = {m: k for m, k in self.bnd_keys.items() if m in self.marker_masks}

@@ -93,15 +93,31 @@ class MomentumEquation3D(EquationBase):
             B["vfacet"].add(
                 jnp.stack([gamma * jmp, -gamma * jmp], axis=1) * mi[:, None]
             )
-        # boundary: impermeable lateral walls (deviation velocity):
-        # mirror-velocity LF penalty only (ref L213-259 simplified)
+        # land boundary: impermeable lateral walls (deviation velocity):
+        # mirror-velocity LF penalty (ref L247-259)
         un_b = un0
         contrib = -2.0 * 0.5 * jnp.abs(un_b)[..., None] * un_b[..., None] * n
-        mb = self.mask_bnd.reshape(-1, 1, 1, 1, 1)
+        ml = self.mask_land.reshape(-1, 1, 1, 1, 1)
         B["vfacet"].add(
             jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1)
-            * mb[:, None]
+            * ml[:, None]
         )
+        # open boundaries (ref momentum_eq.py:213-246): external state from
+        # the 3D momentum BC vocabulary {'uv': val, 'un': val, 'symm': _};
+        # flux = avg(uv) * avg(un)
+        for m in self.open_markers:
+            keys = self.bnd_keys.get(m)
+            if keys is None:
+                continue
+            uv_ext = self._bnd_uv_ext(c, m, keys, uv0, n)
+            uv_av = 0.5 * (uv0 + uv_ext)
+            un_av_b = 0.5 * (un0 + (uv_ext * n).sum(-1))
+            contrib = -uv_av * un_av_b[..., None]
+            mk = self.marker_masks[m].reshape(-1, 1, 1, 1, 1)
+            B["vfacet"].add(
+                jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1)
+                * mk[:, None]
+            )
 
     def _t_vadv(self, c, B):
         """Vertical momentum advection (ref L269-314)."""
@@ -136,23 +152,116 @@ class MomentumEquation3D(EquationBase):
             jnp.stack([f * uv[..., 1], -f * uv[..., 0]], axis=-1)
         )
 
+    def _bnd_uv_ext(self, c, m, keys, uv_b, n):
+        """External velocity at an open boundary per the 3D momentum BC
+        vocabulary (ref ``momentum_eq.py:213-246``): 'uv' (full vector),
+        'un' (normal component) or 'symm' (external = internal)."""
+        vals = c["bnd_values"].get(m, {})
+        if "uv" in keys:
+            v = jnp.asarray(vals["uv"])
+            if v.ndim <= 1:
+                return jnp.broadcast_to(v, uv_b.shape)
+            return self.asm3d.facet_traces(v)[:, 0]
+        if "un" in keys:
+            v = jnp.asarray(vals["un"])
+            if v.ndim == 0:
+                un_ext = jnp.broadcast_to(v, uv_b.shape[:-1])
+            else:
+                un_ext = self.asm3d.facet_traces(v)[:, 0]
+            return un_ext[..., None] * n
+        return uv_b  # 'symm'
+
+    def _nu_eval(self, c, nu):
+        """Viscosity at cell quad points and facet traces; supports scalar
+        / 0-d and full 3D dof fields (nc,3,nz,2) — the latter is what the
+        Smagorinsky closure produces."""
+        nu = jnp.asarray(nu)
+        if nu.ndim == 0:
+            return nu, nu[None, None]  # broadcastable scalars
+        nu_q = self.asm3d.cell_values(nu)        # (nc,nz,nq,nqv)
+        nu_tr = self.asm3d.facet_traces(nu)      # (nf,2,nz,nqf,nqv)
+        return nu_q, nu_tr
+
     def _t_hvisc(self, c, B):
-        """Horizontal SIPG viscosity, penalty + cell parts (ref L317-389)."""
+        """Horizontal SIPG viscosity — penalty + consistency + symmetry
+        terms (ref ``momentum_eq.py:317-389``; same structure as the 2D
+        SIPG in ``tracer_2d.py``/``shallowwater_2d.py``)."""
         nu = c["fields"].get("viscosity_h")
         if nu is None:
             return
         a3 = self.asm3d
+        nu_q, nu_tr = self._nu_eval(c, nu)
         g = a3.cell_grads(c["_dofs"], c["geom"])  # (...,2comp,3)
-        B["grad"].add(-nu * g[..., 0:2])
+        gh = g[..., 0:2]  # horizontal gradient
+        if jnp.ndim(nu_q) == 0:
+            stress_fac = nu_q
+        else:
+            stress_fac = nu_q[..., None, None]
+        B["grad"].add(-stress_fac * gh)
+
         ln = self.mesh.facet_l_normal
         sigma = self.sipg * self.cp / ln
         sigma_max = jnp.maximum(sigma[:, 0], sigma[:, 1]).reshape(
             -1, 1, 1, 1, 1
         )
         uv0, uv1 = c["uv_tr"][:, 0], c["uv_tr"][:, 1]
-        pen = sigma_max * nu * (uv0 - uv1)
+        n = c["n"]
+        if jnp.ndim(nu_tr) == 2:  # scalar viscosity
+            nu_avg = nu_tr[0, 0]
+            nu0 = nu_avg
+        else:
+            nu_avg = 0.5 * (nu_tr[:, 0] + nu_tr[:, 1])
+            nu_avg = nu_avg[..., None]
+            nu0 = nu_tr[:, 0][..., None]
         mi = self.mask_int.reshape(-1, 1, 1, 1, 1)
+        # penalty: -sigma avg(nu) jump(u) tested with jump(test)
+        pen = sigma_max * nu_avg * (uv0 - uv1)
         B["vfacet"].add(jnp.stack([-pen, pen], axis=1) * mi[:, None])
+        # consistency: + avg(nu grad_h(u)) . n tested with jump(test)
+        gtr = a3.facet_trace_grads_h(c["_dofs"], c["geom"])
+        # (nf, 2, nz, nqf, nqv, 2comp, 2dir)
+        if jnp.ndim(nu_tr) == 2:
+            stress_tr = nu_tr[0, 0] * gtr
+        else:
+            stress_tr = nu_tr[..., None, None] * gtr
+        avg_stress_n = (
+            0.5 * (stress_tr[:, 0] + stress_tr[:, 1]) * n[..., None, :]
+        ).sum(-1)
+        B["vfacet"].add(
+            jnp.stack([avg_stress_n, -avg_stress_n], axis=1) * mi[:, None]
+        )
+        # symmetry: + avg(nu grad_h(test)) . jump(u, n)
+        SJ = nu_avg[..., None] * (uv0 - uv1)[..., :, None] * n[..., None, :]
+        mi2 = self.mask_int.reshape(-1, 1, 1, 1, 1, 1)
+        B["vfacet_grad"].add(
+            jnp.stack([0.5 * SJ, 0.5 * SJ], axis=1) * mi2[:, None]
+        )
+        # Dirichlet boundaries: when external data prescribes uv/un
+        stress_b = stress_tr[:, 0]
+        sigma_b = sigma[:, 0].reshape(-1, 1, 1, 1, 1)
+        for m in self.open_markers:
+            keys = self.bnd_keys.get(m)
+            if keys is None or not ({"uv", "un"} & keys):
+                continue
+            uv_ext = self._bnd_uv_ext(c, m, keys, uv0, n)
+            if "un" in keys:
+                delta_uv = (
+                    ((uv0 - uv_ext) * n).sum(-1)[..., None] * n
+                )
+            else:
+                delta_uv = uv0 - uv_ext
+            SJb = nu0[..., None] * delta_uv[..., :, None] * n[..., None, :]
+            SJbn = (SJb * n[..., None, :]).sum(-1)
+            stress_bn = (stress_b * n[..., None, :]).sum(-1)
+            mk = self.marker_masks[m].reshape(-1, 1, 1, 1, 1)
+            contrib = (-sigma_b * SJbn + stress_bn) * mk
+            B["vfacet"].add(
+                jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1)
+            )
+            mk2 = self.marker_masks[m].reshape(-1, 1, 1, 1, 1, 1)
+            B["vfacet_grad"].add(
+                jnp.stack([SJb * mk2, jnp.zeros_like(SJb)], axis=1)
+            )
 
     def _t_source(self, c, B):
         src = c["fields"].get("momentum_source_3d")
@@ -165,8 +274,10 @@ class MomentumEquation3D(EquationBase):
         assert geom is not None
         c = self.build_context(solution, fields, geom)
         c["_dofs"] = solution["uv_3d"]
+        c["bnd_values"] = bnd_values or {}
         B = {k: Bucket() for k in (
-            "cell", "grad", "gradz", "vfacet", "hfacet_below", "hfacet_above"
+            "cell", "grad", "gradz", "vfacet", "vfacet_grad",
+            "hfacet_below", "hfacet_above"
         )}
         for _, method in self.select_terms(label):
             method(c, B)
@@ -183,6 +294,8 @@ class MomentumEquation3D(EquationBase):
             )
         if B["vfacet"]:
             r += a3.vfacet_to_dofs(B["vfacet"].val, geom)
+        if B["vfacet_grad"]:
+            r += a3.vfacet_grad_to_dofs(B["vfacet_grad"].val, geom)
         if B["hfacet_below"] or B["hfacet_above"]:
             zb = jnp.zeros(c["uv_below"].shape)
             r += a3.hfacet_to_dofs(

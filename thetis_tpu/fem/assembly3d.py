@@ -74,7 +74,7 @@ class Assembler3D:
         )  # (nc, nz, nq, nqv, 2)
         Delta_nodes = z_interfaces[..., 1:] - z_interfaces[..., :-1]
         return dict(Delta_q=Delta_q, dzdx_q=dzdx, Delta_nodes=Delta_nodes,
-                    z_q=zq, gz_q=gz)
+                    z_q=zq, gz_q=gz, z_if=z_interfaces)
 
     # -- evaluation ------------------------------------------------------
     def cell_values(self, u):
@@ -127,6 +127,76 @@ class Assembler3D:
                 jnp.einsum("fqd,vp,fdlp...->flqv...", tab, self.psi, cd)
             )
         return jnp.stack(out, axis=1)
+
+    def _facet_side_geom(self, sde, geom):
+        """Per-side facet tabulation + sigma-coordinate geometry at
+        vertical-facet quad points: (tab, dtabJ, D_tr, dzdx_f) with
+        tab (nf,nqf,3), dtabJ (nf,nqf,3,2) physical-reference gradients,
+        D_tr (nf,nz,nqf) layer thickness and dzdx_f (nf,nz,nqf,nqv,2)."""
+        asm = self.asm2d
+        mesh = self.mesh
+        cidx = mesh.facet_cells[:, sde]
+        var = mesh.facet_variant[:, sde]
+        tab = asm.space.phi_f[var]
+        dtabJ = jnp.einsum(
+            "fqdj,fji->fqdi", asm.space.dphi_f[var], mesh.Jinv[cidx]
+        )
+        z_if = geom["z_if"][cidx]  # (nf, 3, nz+1)
+        D_tr = jnp.einsum("fqd,fdl->flq", tab, z_if[:, :, 1:] - z_if[:, :, :-1])
+        gz = jnp.einsum("fqdi,fdl->flqi", dtabJ, z_if)  # (nf, nz+1, nqf, 2)
+        s = self.qv
+        dzdx_f = (
+            gz[:, :-1, :, None, :] * (1 - s)[None, None, None, :, None]
+            + gz[:, 1:, :, None, :] * s[None, None, None, :, None]
+        )  # (nf, nz, nqf, nqv, 2)
+        return cidx, tab, dtabJ, D_tr, dzdx_f
+
+    def facet_trace_grads_h(self, u, geom):
+        """Horizontal physical gradients of both-side traces at
+        vertical-facet quad points (sigma-coordinate chain rule):
+        (nc,3,nz,2[,k]) -> (nf,2,nz,nqf,nqv[,k],2)."""
+        out = []
+        for sde in (0, 1):
+            cidx, tab, dtabJ, D_tr, dzdx_f = self._facet_side_geom(sde, geom)
+            cd = u[cidx]  # (nf, 3, nz, 2, ...)
+            gh = jnp.einsum("fqdi,vp,fdlp...->flqv...i", dtabJ, self.psi, cd)
+            dds = jnp.einsum("fqd,vp,fdlp...->flqv...", tab, self.dpsi, cd)
+            Dx = _wx(D_tr[:, :, :, None], dds, 4)
+            dfdz = dds / Dx
+            extra = dds.ndim - 4
+            dzdx_b = dzdx_f.reshape(dzdx_f.shape[:4] + (1,) * extra + (2,))
+            out.append(gh - dfdz[..., None] * dzdx_b)
+        return jnp.stack(out, axis=1)
+
+    def vfacet_grad_to_dofs(self, acc, geom):
+        """Vertical-facet accumulator tested against the *horizontal
+        gradient* of the test traces (sigma chain rule included):
+        (nf, 2, nz, nqf, nqv[, k], 2) -> (nc, 3, nz, 2[, k])."""
+        asm = self.asm2d
+        mesh = self.mesh
+        sides = []
+        for sde in (0, 1):
+            cidx, tab, dtabJ, D_tr, dzdx_f = self._facet_side_geom(sde, geom)
+            w = (
+                asm.space.qwf[None, None, :, None]
+                * mesh.facet_len[:, None, None, None]
+                * D_tr[..., None]
+                * self.wv
+            )  # (nf, nz, nqf, nqv)
+            a = acc[:, sde]
+            aw = a * _wx(w[..., None], a, 5)
+            t1 = jnp.einsum("flqv...i,fqdi,vp->fdlp...", aw, dtabJ, self.psi)
+            extra = a.ndim - 5
+            dzdx_b = dzdx_f.reshape(dzdx_f.shape[:4] + (1,) * extra + (2,))
+            Dx = D_tr[:, :, :, None].reshape(
+                D_tr.shape + (1,) * (1 + extra)
+            )
+            corr = (aw * dzdx_b).sum(-1) / Dx
+            t2 = jnp.einsum("flqv...,fqd,vp->fdlp...", corr, tab, self.dpsi)
+            sides.append(t1 - t2)
+        contrib = jnp.stack(sides, axis=1)  # (nf, 2, 3, nz, 2, ...)
+        g = contrib[mesh.cell_facets, mesh.cell_sides]
+        return g.sum(axis=1)
 
     # -- projection ------------------------------------------------------
     def wq(self, geom):

@@ -249,7 +249,18 @@ class FlowSolver:
         gls = getattr(self, "gls", None)
         solve_salt = o.solve_salinity
         solve_temp = o.solve_temperature
-        Cd_bot = 2.5e-3 if o.use_bottom_friction else None
+        smag = getattr(self, "smagorinsky", None)
+        kappa = float(physical_constants["von_karman"])
+        # bottom friction: an explicit quadratic drag coefficient wins;
+        # otherwise the law-of-wall log fit in the bottom element from
+        # ``bottom_roughness`` (ref ``momentum_eq.py:443-497``)
+        cd_opt = getattr(o, "quadratic_drag_coefficient", None)
+        z0_bot = float(getattr(o, "bottom_roughness", 0.005) or 0.005)
+        use_law_of_wall = o.use_bottom_friction and cd_opt is None
+        Cd_bot = (
+            (float(cd_opt) if cd_opt is not None else True)
+            if o.use_bottom_friction else None
+        )
 
         def geometry(elev):
             z = ext.z_interfaces(bathy_cell, elev)
@@ -370,21 +381,24 @@ class FlowSolver:
             wm_if = sigma[None, None, :] * deta_dt[..., None]  # (nc,3,nz+1)
             return jnp.stack([wm_if[..., :-1], wm_if[..., 1:]], axis=-1)
 
-        def step(state, swe_fields, bnd_sw):
-            # --- 1. barotropic (2D) solve, incl. the depth-averaged
-            # baroclinic forcing from the previous step's int_pg
+        def pre(state):
+            """Phase 1: baroclinicity diagnostics feeding the 2D solve.
+            Split out so the distributed solver can run it cell-locally
+            under shard_map while the implicit 2D Krylov solve runs at the
+            global (cross-device) level (ref the mode-split structure of
+            ``coupled_timeintegrator.py:620-710``)."""
             geom0 = geometry(state["elev"])
             if o.use_baroclinic_formulation:
                 rho, int_pg = baroclinicity(state, geom0)
-                ipg_dav = asm3d.vertical_integral(int_pg, geom0, average=True)
-                swe_fields = dict(swe_fields)
-                # 2D sees the depth-averaged internal pressure gradient
-                swe_fields["momentum_source"] = ipg_dav
-            else:
-                int_pg = None
-            sw = {"uv": state["uv"], "elev": state["elev"]}
-            sw = swe_stepper.advance(0.0, sw, swe_fields, swe_fields, bnd_sw)
+                ipg_dav = asm3d.vertical_integral(int_pg, geom0,
+                                                  average=True)
+                return int_pg, ipg_dav
+            return None, None
 
+        def post(state, sw, int_pg, swe_fields):
+            """Phase 3: everything after the barotropic solve (ALE, 3D
+            advection, mixing, coupling) — cell/column-local."""
+            geom0 = geometry(state["elev"])
             # --- 2. ALE: new geometry from the updated elevation
             geom = geometry(sw["elev"])
 
@@ -405,12 +419,19 @@ class FlowSolver:
             uv_total = state["uv_3d"] + expand_function_to_3d(
                 sw["uv"], ext.nz
             )
+            visc_h = swe_fields.get("viscosity_h")
+            if smag is not None:
+                # Smagorinsky closure adds to the background viscosity
+                # (ref ``_update_stabilization_params``,
+                # ``coupled_timeintegrator.py:93-99``)
+                nu_smag = smag.solve(uv_total, geom0)
+                visc_h = nu_smag + (visc_h if visc_h is not None else 0.0)
             fields3 = {
                 "w_3d": w_adv,
                 "w_mesh_3d": w_mesh,
                 "int_pg_3d": int_pg,
                 "coriolis": swe_fields.get("coriolis"),
-                "viscosity_h": swe_fields.get("viscosity_h"),
+                "viscosity_h": visc_h,
             }
             fields3 = {k: v for k, v in fields3.items() if v is not None}
             uv_new = ale_advance(eq_mom, "uv_3d", uv_total, fields3,
@@ -468,9 +489,16 @@ class FlowSolver:
                 nu_col = jnp.full_like(new_state["salt_3d"], nu_v0)
                 mu_col = jnp.full_like(new_state["salt_3d"], mu_v0)
             if o.use_implicit_vertical_diffusion:
+                if use_law_of_wall:
+                    # bottom velocity lives z_b = h_b/2 above the bed:
+                    # Cd = (kappa / ln((z_b + z0)/z0))^2 (ref L443-497)
+                    z_b = 0.5 * Dn[:, :, 0] + z0_bot
+                    cd_val = (kappa / jnp.log(z_b / z0_bot)) ** 2
+                else:
+                    cd_val = Cd_bot
                 uv_new = vertical_viscosity_implicit(
                     uv_new, nu_col, Dn, dt,
-                    bottom_drag=Cd_bot,
+                    bottom_drag=cd_val if Cd_bot else None,
                     uv_bot=uv_new[:, :, 0, 0] if Cd_bot else None,
                 )
                 # implicit vertical diffusion of tracers
@@ -499,6 +527,20 @@ class FlowSolver:
             )
             return new_state
 
+        def step(state, swe_fields, bnd_sw):
+            # --- 1. barotropic (2D) solve, incl. the depth-averaged
+            # baroclinic forcing from the previous step's int_pg
+            int_pg, ipg_dav = pre(state)
+            if ipg_dav is not None:
+                swe_fields = dict(swe_fields)
+                # 2D sees the depth-averaged internal pressure gradient
+                swe_fields["momentum_source"] = ipg_dav
+            sw = {"uv": state["uv"], "elev": state["elev"]}
+            sw = swe_stepper.advance(0.0, sw, swe_fields, swe_fields, bnd_sw)
+            return post(state, sw, int_pg, swe_fields)
+
+        self._pre_fn = pre
+        self._post_fn = post
         self._step = step
         self._step_jit = jax.jit(step)
 
@@ -558,7 +600,12 @@ class FlowSolver:
             )
         if o.horizontal_diffusivity is not None:
             out["diffusivity_h"] = jnp.asarray(float(o.horizontal_diffusivity))
-        if o.quadratic_drag_coefficient is not None:
+        if o.quadratic_drag_coefficient is not None and \
+                not o.use_bottom_friction:
+            # with 3D bottom friction the drag acts on the 3D momentum
+            # (law-of-wall / Cd in the implicit vertical solve); forwarding
+            # it to the 2D mode as well would double-count it (the ref's
+            # ModeSplit2DEquations carry no drag, shallowwater_eq.py:954)
             out["quadratic_drag_coefficient"] = jnp.asarray(
                 float(o.quadratic_drag_coefficient)
             )
