@@ -52,6 +52,52 @@ def test_checkpoint_restart(tmp_path):
         )
 
 
+def make_solver3d(tmpdir, t_end):
+    from thetis_tpu.model.flowsolver3d import FlowSolver
+
+    lx = 20e3
+    mesh2d = RectangleMesh(8, 2, lx, 4e3)
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    bath = Function(P1).assign(20.0)
+    so = FlowSolver(mesh2d, bath, 4)
+    o = so.options
+    o.timestep = 30.0
+    o.simulation_export_time = 300.0
+    o.simulation_end_time = t_end
+    o.output_directory = str(tmpdir)
+    o.fields_to_export = []
+    elev0 = Function(P1).interpolate(
+        lambda x, y: 0.4 * np.exp(-(((x - lx / 2) / 3e3) ** 2))
+    )
+    V = FunctionSpace(mesh2d, "DG", 1)
+    t0 = Function(V).interpolate(lambda x, y: 10.0 + 2.0 * x / lx)
+    so.assign_initial_conditions(elev=elev0, temp=t0.data, salt=35.0)
+    return so
+
+
+def test_checkpoint_restart_3d(tmp_path):
+    """3D kill-and-restart: the restarted trajectory is bit-identical
+    (ref ``solver.py:1006-1073`` load_state)."""
+    so_full = make_solver3d(tmp_path / "full", 1200.0)
+    so_full.iterate()
+
+    so_a = make_solver3d(tmp_path / "restart", 600.0)
+    so_a.iterate()
+
+    so_b = make_solver3d(tmp_path / "restart", 1200.0)
+    so_b.load_state(2)  # T=600 checkpoint
+    assert so_b.simulation_time == pytest.approx(600.0)
+    so_b.iterate()
+
+    for key in ("elev_2d", "uv_2d", "uv_3d", "salt_3d", "temp_3d",
+                "split_residual_2d"):
+        a = np.asarray(so_full.fields[key].data)
+        b = np.asarray(so_b.fields[key].data)
+        assert np.array_equal(a, b), (
+            f"{key} differs after 3D restart: {np.abs(a - b).max()}"
+        )
+
+
 def test_vtk_exporter(tmp_path):
     """VTU/PVD visualization series (ref exporter.py VTK path): files are
     valid XML and contain the nodal values."""

@@ -49,3 +49,43 @@ def test_periodic_full_circuit_advection():
     mass1 = float(so.asm.integrate(c1))
     assert rel < 0.2, f"seam-crossing advection error {rel}"
     assert abs(mass1 - mass0) < 1e-10 * abs(mass0)
+
+
+def test_periodic_swe_uniform_forcing():
+    """A spatially uniform momentum source on a periodic channel must
+    produce a spatially uniform velocity and zero elevation (regression:
+    nx=2 merged two distinct edges into one facet; nx>=3 is asserted)."""
+    import pytest
+    from types import SimpleNamespace
+    from thetis_tpu.fem.assembly import DGAssembler
+    from thetis_tpu.equations.shallowwater_2d import (
+        ShallowWaterEquations, swe_state,
+    )
+    from thetis_tpu.timeintegration.steppers import CrankNicolson
+    from thetis_tpu.solvers.newton import NewtonParameters
+
+    with pytest.raises(AssertionError):
+        PeriodicRectangleMesh(2, 2, 5e3, 5e3)
+
+    mesh = PeriodicRectangleMesh(3, 2, 7.5e3, 5e3)
+    V = FunctionSpace(mesh, "DG", 1)
+    asm = DGAssembler(mesh, V)
+    opts = SimpleNamespace(
+        use_nonlinear_equations=False, use_wetting_and_drying=False,
+        use_lax_friedrichs_velocity=True, use_grad_div_viscosity_term=False,
+        use_grad_depth_viscosity_term=True, sipg_factor=1.0,
+        norm_smoother=0.0)
+    eq = ShallowWaterEquations(mesh, asm, opts, bathymetry=50.0,
+                               bnd_conditions={})
+    st = swe_state(jnp.zeros((mesh.nc, 3, 2)), jnp.zeros((mesh.nc, 3)))
+    fields = {"momentum_source": jnp.asarray([2e-6, 0.0]),
+              "lax_friedrichs_velocity_scaling_factor": jnp.asarray(1.0)}
+    stepper = CrankNicolson(eq, 60.0, semi_implicit=True,
+                            solver_parameters=NewtonParameters())
+    for _ in range(3):
+        st = stepper.advance(0.0, st, fields, fields, {})
+    u = np.asarray(st["uv"])
+    e = np.asarray(st["elev"])
+    assert abs(u[..., 0].mean() - 3 * 60.0 * 2e-6) < 1e-12
+    assert u[..., 0].std() < 1e-12 and np.abs(u[..., 1]).max() < 1e-12
+    assert np.abs(e).max() < 1e-10

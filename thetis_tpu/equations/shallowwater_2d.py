@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..config import physical_constants
 from .base import Bucket, EquationBase, facet_quad_value, facet_quad_value_2s
 
-__all__ = ["ShallowWaterEquations", "DepthExpression", "swe_state"]
+__all__ = ["ShallowWaterEquations", "ModeSplit2DEquations", "DepthExpression",
+           "swe_state"]
 
 
 def swe_state(uv, elev):
@@ -698,3 +699,30 @@ class ShallowWaterEquations(EquationBase):
         """Exact block inverse (only valid without W&D displacement)."""
         asm = self.asm
         return swe_state(asm.mass_inverse(r["uv"]), asm.mass_inverse(r["elev"]))
+
+
+class ModeSplit2DEquations(ShallowWaterEquations):
+    """Reduced depth-averaged system for mode splitting
+    (ref ``shallowwater_eq.py:931-976`` ``ModeSplit2DEquations``).
+
+    The barotropic momentum carries only the external pressure gradient,
+    Coriolis, the 2D-3D coupling source (``split_residual_2d``, the depth
+    average of the full 3D momentum tendency) and atmospheric pressure;
+    advection, viscosity and bottom drag act on the 3D momentum and reach
+    the 2D mode through the coupling source.  The continuity equation is
+    the full HUDiv + volume source."""
+
+    _MODESPLIT_TERMS = frozenset([
+        "ExternalPressureGradientTerm",
+        "CoriolisTerm",
+        "MomentumSourceTerm",
+        "AtmosphericPressureTerm",
+        "HUDivTerm",
+        "ContinuitySourceTerm",
+    ])
+
+    def __init__(self, mesh, asm, options, bathymetry, bnd_conditions=None):
+        super().__init__(mesh, asm, options, bathymetry,
+                         bnd_conditions=bnd_conditions)
+        self.terms = [(n, l, m) for (n, l, m) in self.terms
+                      if n in self._MODESPLIT_TERMS]

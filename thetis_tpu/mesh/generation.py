@@ -67,6 +67,11 @@ def PeriodicRectangleMesh(nx, ny, lx, ly, direction="x",
     Boundary markers: 1 = y=0, 2 = y=ly (the reference's x-periodic
     rectangle keeps ids 1/2 for the remaining boundaries)."""
     assert direction == "x", "only x-periodicity is implemented"
+    # with nx < 3 two geometrically distinct edges share the same vertex
+    # pair (e.g. the top edges of both columns at nx=2) and the
+    # facet-by-vertex-pair representation degenerates (Firedrake's
+    # PeriodicRectangleMesh has the same restriction)
+    assert nx >= 3, "x-periodic meshes need nx >= 3"
     x = np.arange(nx) * (lx / nx)
     y = np.linspace(0.0, ly, ny + 1)
     X, Y = np.meshgrid(x, y, indexing="ij")

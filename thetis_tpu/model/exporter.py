@@ -17,8 +17,10 @@ __all__ = ["HDF5Exporter", "NPZExporter", "VTKExporter", "ExportManager"]
 
 
 class HDF5Exporter:
-    """One HDF5 file per field per export index
-    (ref ``exporter.py:123-242``)."""
+    """One HDF5 file per field per export index, carrying function-space
+    metadata; the mesh is stored once per output directory in ``mesh.h5``
+    (the reference ``CheckpointFile`` stores mesh + function together,
+    ref ``exporter.py:123-242``, ``solver2d.py:880-902``)."""
 
     def __init__(self, space, outputdir, filename_prefix, verbose=False):
         self.space = space
@@ -26,6 +28,7 @@ class HDF5Exporter:
         self.filename = filename_prefix
         os.makedirs(outputdir, exist_ok=True)
         self.next_export_ix = 0
+        self._mesh_written = False
 
     def gen_filename(self, iexport):
         return os.path.join(
@@ -35,18 +38,44 @@ class HDF5Exporter:
     def set_next_export_ix(self, ix):
         self.next_export_ix = ix
 
-    def export_as_index(self, iexport, function, time=None):
+    def _ensure_mesh(self):
+        """Write the mesh (coords, connectivity, facet markers) once per
+        output directory so a checkpoint set is self-describing."""
+        if self._mesh_written or self.space is None:
+            return
+        path = os.path.join(self.outputdir, "mesh.h5")
+        self._mesh_written = True
+        if os.path.exists(path):
+            return
         import h5py
 
+        mesh = self.space.mesh
+        with h5py.File(path, "w") as f:
+            f.create_dataset("coords", data=np.asarray(mesh.coords_np))
+            f.create_dataset("cells", data=np.asarray(mesh.cells_np))
+            if hasattr(mesh, "facet_marker_np"):
+                f.create_dataset("facet_marker",
+                                 data=np.asarray(mesh.facet_marker_np))
+
+    def export_as_index(self, iexport, function, time=None, iteration=None):
+        import h5py
+
+        self._ensure_mesh()
         with h5py.File(self.gen_filename(iexport), "w") as f:
             f.create_dataset("data", data=np.asarray(function.data))
             f.attrs["name"] = function.name
+            if self.space is not None:
+                f.attrs["family"] = str(getattr(self.space, "family", ""))
+                f.attrs["degree"] = int(getattr(self.space, "degree", -1))
             if time is not None:
                 f.attrs["time"] = time
+            if iteration is not None:
+                f.attrs["iteration"] = int(iteration)
         self.next_export_ix = iexport + 1
 
-    def export(self, function, time=None):
-        self.export_as_index(self.next_export_ix, function, time=time)
+    def export(self, function, time=None, iteration=None):
+        self.export_as_index(self.next_export_ix, function, time=time,
+                             iteration=iteration)
 
     def load(self, iexport, function):
         import h5py
@@ -54,9 +83,17 @@ class HDF5Exporter:
         with h5py.File(self.gen_filename(iexport), "r") as f:
             data = np.asarray(f["data"])
             time = f.attrs.get("time")
+            it = f.attrs.get("iteration")
+        if data.shape != tuple(np.shape(function.data)):
+            raise ValueError(
+                f"checkpoint {self.gen_filename(iexport)}: stored shape "
+                f"{data.shape} does not match function "
+                f"{tuple(np.shape(function.data))} — wrong mesh or space"
+            )
         import jax.numpy as jnp
 
         function.data = jnp.asarray(data)
+        self.last_iteration = None if it is None else int(it)
         return time
 
 
@@ -212,10 +249,19 @@ class ExportManager:
         for e in self.exporters.values():
             e.set_next_export_ix(ix)
 
-    def export(self, time=None):
+    def export(self, time=None, iteration=None):
         for key, e in self.exporters.items():
-            e.export(self.functions[key], time=time)
+            if isinstance(e, HDF5Exporter):
+                e.export(self.functions[key], time=time,
+                         iteration=iteration)
+            else:
+                e.export(self.functions[key], time=time)
 
     def export_bathymetry(self, bathymetry_2d):
-        if "bathymetry_2d" not in self.exporters:
-            pass
+        """One-off bathymetry dump alongside the field series
+        (ref ``solver2d.py:737-745``)."""
+        meta = field_metadata.get("bathymetry_2d", {"filename": "bathymetry2d"})
+        e = HDF5Exporter(bathymetry_2d.function_space,
+                         os.path.join(self.outputdir, "hdf5"),
+                         meta["filename"])
+        e.export_as_index(0, bathymetry_2d)

@@ -378,6 +378,18 @@ class FlowSolver2d:
         self._build_advance()
         self._timestepper_created = True
 
+    def _checkpoint_field_keys(self):
+        """Every prognostic field needed for a bit-exact restart
+        (ref state list ``solver2d.py:874-921``)."""
+        keys = ["elev_2d", "uv_2d"] + list(self.tracer_labels)
+        if self.solve_sediment:
+            keys.append("sediment_2d")
+        if self.solve_exner:
+            keys.append("bathymetry_2d")
+        if getattr(self, "solve_nh", False):
+            keys += ["q_2d", "w_2d"]
+        return keys
+
     def create_exporters(self):
         """ref ``solver2d.py:704-730``."""
         o = self.options
@@ -389,7 +401,7 @@ class FlowSolver2d:
             )
             self.exporters["hdf5"] = ExportManager(
                 o.output_directory,
-                o.fields_to_export_hdf5 or ["elev_2d", "uv_2d"],
+                o.fields_to_export_hdf5 or self._checkpoint_field_keys(),
                 self.fields, export_type="hdf5",
             )
         self._exporters_created = True
@@ -834,17 +846,21 @@ class FlowSolver2d:
     def export(self):
         self.callbacks.evaluate(mode="export")
         for e in self.exporters.values():
-            e.export(time=self.simulation_time)
+            e.export(time=self.simulation_time, iteration=self.iteration)
 
     def load_state(self, i_export, outputdir=None, t=None, iteration=None):
-        """Restart from HDF5 checkpoints (ref ``solver2d.py:820-921``)."""
+        """Restart from HDF5 checkpoints: every prognostic field (tracers,
+        sediment, Exner bathymetry, NH q/w included) is restored so the
+        continued trajectory is bit-exact (ref ``solver2d.py:820-921``)."""
         if not self._initialized:
             self.initialize()
         outputdir = outputdir or self.options.output_directory
         from .exporter import HDF5Exporter
 
-        for key in ("elev_2d", "uv_2d"):
-            meta = field_metadata[key]
+        keys = (self.options.fields_to_export_hdf5
+                or self._checkpoint_field_keys())
+        for key in keys:
+            meta = field_metadata.get(key, {"filename": key})
             e = HDF5Exporter(
                 self.fields[key].function_space, outputdir + "/hdf5",
                 meta["filename"],

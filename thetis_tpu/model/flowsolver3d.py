@@ -6,13 +6,20 @@ barotropic mode (SWE) coupled to 3D momentum (deviation velocity),
 salinity/temperature transport, EOS/baroclinic pressure, vertical implicit
 mixing and the GLS turbulence closure on a sigma-layer ALE mesh.
 
-Round-1 scope and simplifications (documented against the reference):
-  * single shared dt (the reference supports mode-split subcycling with
-    ratio M, ``solver.py:371-398``); the 2D mode is advanced implicitly so
-    this is stable,
-  * the 2D<->3D coupling source is the depth average of the internal
-    pressure gradient (the reference depth-averages the full 3D momentum
-    residual, ``coupled_timeintegrator.py:43-58``),
+Coupling follows the reference's mode-split design:
+  * the 2D mode solves the reduced :class:`ModeSplit2DEquations`
+    (external pressure gradient + Coriolis + coupling source; ref
+    ``shallowwater_eq.py:931-976``) with Crank-Nicolson (the
+    ESDIRKTrapezoid analogue of ``CoupledTwoStageRK``),
+  * the 2D<->3D coupling source is ``split_residual_2d`` — the depth
+    average of the *full* 3D momentum tendency over the previous step
+    (advection, viscosity, internal pressure gradient, Coriolis, bottom
+    friction), lagged one step exactly as the reference lags it one
+    stage (ref ``coupled_timeintegrator.py:43-71``
+    ``_update_2d_coupling``),
+  * a single shared dt: the reference hardcodes ``dt_mode='3d'``
+    (``solver.py:846``) so the legacy split-explicit M-subcycling path
+    is intentionally not reproduced — the implicit 2D mode needs none,
   * per-step sequence follows ``CoupledTwoStageRK.advance``
     (ref L620-710): 2D solve -> ALE geometry -> 3D advection stages ->
     depth-average coupling -> implicit vertical mixing -> baroclinicity ->
@@ -27,7 +34,10 @@ from ..fem.assembly import DGAssembler
 from ..fem.assembly3d import Assembler3D
 from ..fem.functionspace import FunctionSpace, Function
 from ..mesh.extruded import ExtrudedMesh
-from ..equations.shallowwater_2d import ShallowWaterEquations
+from ..equations.shallowwater_2d import (
+    ShallowWaterEquations,
+    ModeSplit2DEquations,
+)
 from ..equations.tracer_3d import TracerEquation3D
 from ..equations.momentum_3d import (
     MomentumEquation3D,
@@ -63,6 +73,8 @@ class ModelOptions3d(ModelOptions2d):
             use_implicit_vertical_diffusion=True,
             use_bottom_friction=True,
             use_turbulence=False,
+            use_turbulence_advection=False,
+            equation_of_state_options=None,
             use_smagorinsky_viscosity=False,
             smagorinsky_coefficient=0.1,
             use_limiter_for_velocity=False,
@@ -75,6 +87,10 @@ class ModelOptions3d(ModelOptions2d):
             vertical_diffusivity=1e-5,
             bottom_roughness=0.005,
             turbulence_model_options=None,
+            # reduced ModeSplit2DEquations + split_residual coupling (the
+            # reference behavior); False falls back to the round-1 scheme
+            # (full 2D SWE + depth-averaged int-PG source)
+            use_modesplit_2d=True,
         ).items():
             object.__setattr__(self, k, v)
         self._freeze()
@@ -96,6 +112,10 @@ class FlowSolver:
         self.iteration = 0
         self.i_export = 0
         self._initialized = False
+        self._exporters_created = False
+        self._initial_export_done = False
+        from .callback import CallbackManager
+        self.callbacks = CallbackManager()
 
     # ------------------------------------------------------------------
     def create_function_spaces(self):
@@ -138,12 +158,27 @@ class FlowSolver:
         f.density_3d = Function(self.function_spaces.H_2d, data=jnp.zeros(shape3))
         f.tke_3d = Function(self.function_spaces.H_2d, data=jnp.full(shape3, 1e-6))
         f.psi_3d = Function(self.function_spaces.H_2d, data=jnp.full(shape3, 1e-14))
+        if o.use_turbulence:
+            # eddy coefficients from the previous turbulence update (ref
+            # fields eddy_visc_3d/eddy_diff_3d): the mixing step uses them
+            # one step lagged, exactly like the reference postprocess
+            go = o.turbulence_model_options or GLSModelOptions()
+            f.nu_v_3d = Function(self.function_spaces.H_2d,
+                                 data=jnp.full(shape3, float(go.visc_min)))
+            f.mu_v_3d = Function(self.function_spaces.H_2d,
+                                 data=jnp.full(shape3, float(go.diff_min)))
+        # depth average of the previous step's 3D momentum tendency; the
+        # 2D mode's coupling source (ref split_residual_2d,
+        # ``coupled_timeintegrator.py:65-71``)
+        f.split_residual_2d = Function(self.function_spaces.U_2d)
 
     def create_equations(self):
         if not hasattr(self, "fields"):
             self.create_fields()
         o = self.options
-        self.eq_sw = ShallowWaterEquations(
+        swe_cls = (ModeSplit2DEquations if o.use_modesplit_2d
+                   else ShallowWaterEquations)
+        self.eq_sw = swe_cls(
             self.mesh2d, self.asm, o, bathymetry=self._bathy_for_2d(),
             bnd_conditions=getattr(self, "bnd_functions", {}).get(
                 "shallow_water", {}
@@ -158,7 +193,9 @@ class FlowSolver:
         if o.equation_of_state_type == "full":
             self.equation_of_state = JackettEquationOfState()
         else:
-            self.equation_of_state = LinearEquationOfState()
+            self.equation_of_state = LinearEquationOfState(
+                **(o.equation_of_state_options or {})
+            )
         self.density_solver = DensitySolver(self.equation_of_state)
         self.bhc = BaroclinicHeadCalculator(self.asm3d)
         self.w_solver = VerticalVelocitySolver(self.asm3d, self.bathy_cell)
@@ -170,6 +207,14 @@ class FlowSolver:
             self.gls = GenericLengthScaleModel(
                 self.asm3d, o.turbulence_model_options or GLSModelOptions()
             )
+            if o.use_turbulence_advection:
+                # tke/psi are advected like tracers before the column
+                # physics update (ref ``solver.py:741-771``,
+                # ``CoupledTwoStageRK`` turb_advection stages)
+                self.eq_tke = TracerEquation3D(self.mesh2d, self.asm3d, o,
+                                               label="tke_3d")
+                self.eq_psi = TracerEquation3D(self.mesh2d, self.asm3d, o,
+                                               label="psi_3d")
 
     def _bathy_for_2d(self):
         b = self.bathymetry_input
@@ -178,6 +223,81 @@ class FlowSolver:
         return jnp.asarray(b)
 
     # ------------------------------------------------------------------
+    def _checkpoint_field_keys(self):
+        """Every prognostic field needed for a bit-exact 3D restart
+        (ref state list ``solver.py:1058-1059``)."""
+        o = self.options
+        keys = ["elev_2d", "uv_2d", "uv_3d", "w_3d", "salt_3d", "temp_3d"]
+        if o.use_modesplit_2d:
+            keys.append("split_residual_2d")
+        if o.use_turbulence:
+            keys += ["tke_3d", "psi_3d", "nu_v_3d", "mu_v_3d"]
+        return keys
+
+    def create_exporters(self):
+        """Visualization (NPZ) + HDF5 checkpoint series
+        (ref ``solver.py:1006-1073``)."""
+        from .exporter import ExportManager
+
+        o = self.options
+        self.exporters = {}
+        if not o.no_exports:
+            self.exporters["vtk"] = ExportManager(
+                o.output_directory, o.fields_to_export, self.fields,
+                export_type="npz",
+            )
+            self.exporters["hdf5"] = ExportManager(
+                o.output_directory,
+                o.fields_to_export_hdf5 or self._checkpoint_field_keys(),
+                self.fields, export_type="hdf5",
+            )
+        self._exporters_created = True
+
+    def add_callback(self, callback, eval_interval="export"):
+        self.callbacks.add(callback, eval_interval)
+
+    def export(self):
+        self.callbacks.evaluate(mode="export")
+        for e in self.exporters.values():
+            e.export(time=self.simulation_time, iteration=self.iteration)
+
+    def load_state(self, i_export, outputdir=None, t=None, iteration=None):
+        """Restart from HDF5 checkpoints; restores every prognostic field
+        so the continued trajectory is bit-exact
+        (ref ``solver.py:1006-1073``)."""
+        from .exporter import HDF5Exporter
+        from .field_defs import field_metadata
+
+        if not self._initialized:
+            self.initialize()
+        outputdir = outputdir or self.options.output_directory
+        keys = (self.options.fields_to_export_hdf5
+                or self._checkpoint_field_keys())
+        tload = None
+        for key in keys:
+            meta = field_metadata.get(key, {"filename": key})
+            e = HDF5Exporter(
+                self.fields[key].function_space, outputdir + "/hdf5",
+                meta["filename"],
+            )
+            tload = e.load(i_export, self.fields[key])
+        self.i_export = i_export
+        self.simulation_time = (
+            t if t is not None
+            else (tload if tload is not None
+                  else i_export * self.options.simulation_export_time)
+        )
+        self.iteration = (
+            iteration if iteration is not None
+            else int(np.ceil(self.simulation_time / self.dt))
+        )
+        self.i_export += 1
+        if not self._exporters_created:
+            self.create_exporters()
+        for e in self.exporters.values():
+            e.set_next_export_ix(self.i_export)
+        self._initial_export_done = True
+
     def initialize(self):
         self.create_equations()
         o = self.options
@@ -188,6 +308,8 @@ class FlowSolver:
             solver_parameters=swe_params,
         )
         self._build_step()
+        if not self._exporters_created:
+            self.create_exporters()
         self._initialized = True
 
     def assign_initial_conditions(self, elev=None, uv=None, salt=None,
@@ -246,7 +368,10 @@ class FlowSolver:
         nu_v0 = float(o.vertical_viscosity)
         mu_v0 = float(o.vertical_diffusivity)
         use_turb = o.use_turbulence
+        use_turb_adv = use_turb and o.use_turbulence_advection
         gls = getattr(self, "gls", None)
+        eq_tke = getattr(self, "eq_tke", None)
+        eq_psi = getattr(self, "eq_psi", None)
         solve_salt = o.solve_salinity
         solve_temp = o.solve_temperature
         smag = getattr(self, "smagorinsky", None)
@@ -381,15 +506,28 @@ class FlowSolver:
             wm_if = sigma[None, None, :] * deta_dt[..., None]  # (nc,3,nz+1)
             return jnp.stack([wm_if[..., :-1], wm_if[..., 1:]], axis=-1)
 
+        modesplit = bool(o.use_modesplit_2d)
+
         def pre(state):
             """Phase 1: baroclinicity diagnostics feeding the 2D solve.
             Split out so the distributed solver can run it cell-locally
             under shard_map while the implicit 2D Krylov solve runs at the
             global (cross-device) level (ref the mode-split structure of
-            ``coupled_timeintegrator.py:620-710``)."""
+            ``coupled_timeintegrator.py:620-710``).
+
+            Returns ``(int_pg, src_2d)`` where ``src_2d`` is the 2D
+            momentum source: with mode splitting the lagged
+            ``split_residual`` (whose depth-averaged int-PG contribution
+            arrives through the 3D tendency), otherwise the depth-averaged
+            internal pressure gradient directly (round-1 scheme)."""
             geom0 = geometry(state["elev"])
             if o.use_baroclinic_formulation:
                 rho, int_pg = baroclinicity(state, geom0)
+            else:
+                int_pg = None
+            if modesplit:
+                return int_pg, state["split_residual"]
+            if int_pg is not None:
                 ipg_dav = asm3d.vertical_integral(int_pg, geom0,
                                                   average=True)
                 return int_pg, ipg_dav
@@ -467,24 +605,14 @@ class FlowSolver:
                 if leapfrog:
                     new_state["temp_lf_old"] = state["temp_3d"]
 
-            # --- 5. turbulence closure and vertical mixing
+            # --- 5. implicit vertical mixing with the eddy coefficients
+            # from the previous turbulence update (the reference's
+            # eddy_visc_3d/eddy_diff_3d fields, postprocess of the previous
+            # step), wind surface stress and bottom friction
             Dn = geom["Delta_nodes"]
             if use_turb:
-                rho_new = density_solver.solve(
-                    new_state["salt_3d"], new_state["temp_3d"]
-                )
-                m2, n2 = gls.compute_shear_buoy_freq(uv_new, rho_new, geom)
-                nu_v, mu_v, _, _ = gls.eddy_coefficients(
-                    state["tke_3d"], state["psi_3d"], m2, n2
-                )
-                k_new, psi_new = gls.step_columns(
-                    state["tke_3d"], state["psi_3d"], m2, n2, nu_v, mu_v,
-                    Dn, dt,
-                )
-                new_state["tke_3d"] = k_new
-                new_state["psi_3d"] = psi_new
-                nu_col = nu_v + nu_v0
-                mu_col = mu_v + mu_v0
+                nu_col = state["nu_v_3d"] + nu_v0
+                mu_col = state["mu_v_3d"] + mu_v0
             else:
                 nu_col = jnp.full_like(new_state["salt_3d"], nu_v0)
                 mu_col = jnp.full_like(new_state["salt_3d"], mu_v0)
@@ -496,8 +624,20 @@ class FlowSolver:
                     cd_val = (kappa / jnp.log(z_b / z0_bot)) ** 2
                 else:
                     cd_val = Cd_bot
+                wind = swe_fields.get("wind_stress")
+                stress_top = None
+                if wind is not None:
+                    # tau/rho0 surface momentum flux (ref wind stress in
+                    # the 3D momentum, ``momentum_eq.py:392-440``); the
+                    # ModeSplit 2D carries no wind term so there is no
+                    # double counting
+                    stress_top = jnp.broadcast_to(
+                        jnp.asarray(wind) / rho0,
+                        uv_new.shape[:2] + (2,),
+                    )
                 uv_new = vertical_viscosity_implicit(
                     uv_new, nu_col, Dn, dt,
+                    stress_top=stress_top,
                     bottom_drag=cd_val if Cd_bot else None,
                     uv_bot=uv_new[:, :, 0, 0] if Cd_bot else None,
                 )
@@ -513,11 +653,55 @@ class FlowSolver:
                         new_state["temp_3d"], mu_col, Dn, dt
                     )
 
+            # --- 5b. turbulence closure update on the *mixed* fields
+            # (ref CoupledTwoStageRK last stage order, L688-706: implicit
+            # vertical diffusion first, then _update_turbulence)
+            if use_turb:
+                tke_in, psi_in = state["tke_3d"], state["psi_3d"]
+                if use_turb_adv:
+                    # horizontal+vertical advection of the turbulence
+                    # quantities with the same continuity-consistent
+                    # velocity as the tracers (ref solver.py:744-771)
+                    turb_fields = {"uv_3d": uv_adv, "w_3d": w_adv,
+                                   "w_mesh_3d": w_mesh}
+                    tke_in = ale_advance(
+                        eq_tke, "tke_3d", tke_in, turb_fields, geom0, geom,
+                        u_prev=state.get("tke_lf_old"),
+                    )
+                    psi_in = ale_advance(
+                        eq_psi, "psi_3d", psi_in, turb_fields, geom0, geom,
+                        u_prev=state.get("psi_lf_old"),
+                    )
+                    if leapfrog:
+                        new_state["tke_lf_old"] = state["tke_3d"]
+                        new_state["psi_lf_old"] = state["psi_3d"]
+                rho_new = density_solver.solve(
+                    new_state["salt_3d"], new_state["temp_3d"]
+                )
+                m2, n2 = gls.compute_shear_buoy_freq(uv_new, rho_new, geom,
+                                                     rho0=rho0)
+                k_new, psi_new = gls.step_columns(
+                    tke_in, psi_in, m2, n2,
+                    state["nu_v_3d"], state["mu_v_3d"], Dn, dt,
+                )
+                nu_v, mu_v, _, _ = gls.eddy_coefficients(
+                    k_new, psi_new, m2, n2
+                )
+                new_state["tke_3d"] = k_new
+                new_state["psi_3d"] = psi_new
+                new_state["nu_v_3d"] = nu_v
+                new_state["mu_v_3d"] = mu_v
+
             # --- 6. 2D<->3D coupling: remove the depth average, the 2D
-            # solution carries it (ref _update_2d_coupling L43-58)
+            # solution carries it; the removed average (accumulated by the
+            # full 3D tendency relative to the embedded 2D flow) divided by
+            # dt is the next step's 2D momentum source
+            # (ref _update_2d_coupling, ``coupled_timeintegrator.py:43-71``)
             uv_dav = asm3d.vertical_integral(uv_new, geom, average=True)
             uv_dev = uv_new - expand_function_to_3d(uv_dav, ext.nz)
             new_state["uv_3d"] = uv_dev
+            if modesplit:
+                new_state["split_residual"] = (uv_dav - sw["uv"]) / dt
             new_state["uv"] = sw["uv"]
             new_state["elev"] = sw["elev"]
 
@@ -528,13 +712,13 @@ class FlowSolver:
             return new_state
 
         def step(state, swe_fields, bnd_sw):
-            # --- 1. barotropic (2D) solve, incl. the depth-averaged
-            # baroclinic forcing from the previous step's int_pg
-            int_pg, ipg_dav = pre(state)
-            if ipg_dav is not None:
+            # --- 1. barotropic (2D) solve, forced by the depth-averaged
+            # 3D momentum tendency (split residual) or, in the legacy
+            # scheme, the depth-averaged internal pressure gradient
+            int_pg, src_2d = pre(state)
+            if src_2d is not None:
                 swe_fields = dict(swe_fields)
-                # 2D sees the depth-averaged internal pressure gradient
-                swe_fields["momentum_source"] = ipg_dav
+                swe_fields["momentum_source"] = src_2d
             sw = {"uv": state["uv"], "elev": state["elev"]}
             sw = swe_stepper.advance(0.0, sw, swe_fields, swe_fields, bnd_sw)
             return post(state, sw, int_pg, swe_fields)
@@ -564,6 +748,15 @@ class FlowSolver:
             "salt_3d": f.salt_3d.data, "temp_3d": f.temp_3d.data,
             "tke_3d": f.tke_3d.data, "psi_3d": f.psi_3d.data,
         }
+        if self.options.use_modesplit_2d:
+            s["split_residual"] = f.split_residual_2d.data
+        if self.options.use_turbulence:
+            s["nu_v_3d"] = f.nu_v_3d.data
+            s["mu_v_3d"] = f.mu_v_3d.data
+            if self.options.use_turbulence_advection and str(getattr(
+                    self.options, "timestepper_type", "")) == "LeapFrogAM3":
+                s["tke_lf_old"] = f.tke_3d.data
+                s["psi_lf_old"] = f.psi_3d.data
         if str(getattr(self.options, "timestepper_type", "")) == "LeapFrogAM3":
             # LF-AM3 history, seeded with the current state (first step
             # degenerates to a forward stage)
@@ -584,6 +777,11 @@ class FlowSolver:
         f.temp_3d.data = s["temp_3d"]
         f.tke_3d.data = s["tke_3d"]
         f.psi_3d.data = s["psi_3d"]
+        if "split_residual" in s:
+            f.split_residual_2d.data = s["split_residual"]
+        if "nu_v_3d" in s:
+            f.nu_v_3d.data = s["nu_v_3d"]
+            f.mu_v_3d.data = s["mu_v_3d"]
 
     def _gather_swe_fields(self):
         o = self.options
@@ -593,6 +791,11 @@ class FlowSolver:
         if o.coriolis_frequency is not None:
             v = o.coriolis_frequency
             out["coriolis"] = v.data if isinstance(v, Function) else jnp.asarray(v)
+        if o.wind_stress is not None:
+            v = o.wind_stress
+            out["wind_stress"] = (
+                v.data if isinstance(v, Function) else jnp.asarray(v)
+            )
         if o.horizontal_viscosity is not None:
             v = o.horizontal_viscosity
             out["viscosity_h"] = (
@@ -620,6 +823,9 @@ class FlowSolver:
         bnd_sw = self._gather_bnd_sw()
         next_export = self.simulation_time + o.simulation_export_time
         self._print_state(state)
+        if not self._initial_export_done:
+            self.export()
+            self._initial_export_done = True
         use_scan = update_forcings is None
         while self.simulation_time <= o.simulation_end_time - 1e-5:
             if use_scan:
@@ -642,6 +848,7 @@ class FlowSolver:
                 next_export += o.simulation_export_time
                 self._set_state(state)
                 self._print_state(state)
+                self.export()
                 if export_func is not None:
                     export_func()
         self._set_state(state)

@@ -117,19 +117,19 @@ class ShardedFlowSolver3d:
             solver = self._local_solver(tabs)
             ext = lambda u: _halo_extend(u, sl, sr, axis)  # noqa: E731
             state_e = jax.tree_util.tree_map(ext, state)
-            int_pg, ipg_dav = solver._pre_fn(state_e)
-            out = (int_pg, ipg_dav)
+            int_pg, src_2d = solver._pre_fn(state_e)
+            out = (int_pg, src_2d)
             return jax.tree_util.tree_map(lambda u: u[:n_loc], out)
 
-        int_pg, ipg_dav = jax.shard_map(
+        int_pg, src_2d = jax.shard_map(
             pre_local, mesh=self.device_mesh,
             in_specs=(P(axis), P(axis), self._spec_tables),
             out_specs=P(axis), check_vma=False,
         )(state, self._send, self._tables)
 
         sf = dict(swe_fields)
-        if ipg_dav is not None:
-            sf["momentum_source"] = ipg_dav
+        if src_2d is not None:
+            sf["momentum_source"] = src_2d
         sw = self.swe_stepper.advance(
             0.0, {"uv": state["uv"], "elev": state["elev"]}, sf, sf, bnd_sw
         )
