@@ -49,8 +49,10 @@ def run(stepper_name, n, imex=False):
     params = NewtonParameters(snes_rtol=1e-13, snes_atol=1e-15,
                               ksp_rtol=1e-13, snes_max_it=20)
     kw = {}
-    if stepper_name in ("CrankNicolson", "BackwardEuler", "DIRK22", "DIRK33",
-                        "DIRK43"):
+    if stepper_name in ("CrankNicolson", "BackwardEuler", "DIRK22", "DIRK23",
+                        "DIRK33", "DIRK43", "DIRKLSPUM2", "DIRKLPUM2",
+                        "ESDIRKMidpoint", "ESDIRKTrapezoid",
+                        "ImplicitMidpoint"):
         kw["solver_parameters"] = params
     if imex:
         stepper = get_imex_stepper(stepper_name, eq, dt,
@@ -78,8 +80,20 @@ def run(stepper_name, n, imex=False):
         ("CrankNicolson", 2.0, False),
         ("SSPRK33", 3.0, False),
         ("DIRK22", 2.0, False),
+        ("DIRK23", 3.0, False),
         ("DIRK33", 3.0, False),
+        ("DIRK43", 3.0, False),
+        ("DIRKLSPUM2", 2.0, False),
+        ("DIRKLPUM2", 2.0, False),
+        ("ImplicitMidpoint", 2.0, False),
+        ("ESDIRKMidpoint", 2.0, False),
+        ("ESDIRKTrapezoid", 2.0, False),
+        ("ERKMidpoint", 2.0, False),
+        ("ERKLSPUM2", 2.0, False),
+        ("ERKLPUM2", 2.0, False),
         ("SSPIMEX", 2.0, False or True),
+        ("IMEXLSPUM2", 2.0, True),
+        ("IMEXMidpoint", 2.0, True),
         ("IMEXEuler", 1.0, True),
     ],
 )

@@ -81,3 +81,48 @@ def test_dgcg_mass_conservation():
     v1 = so.compute_volume_2d()
     assert abs(v1 - v0) / abs(v0) < 1e-10
     assert np.isfinite(np.asarray(so.fields.elev_2d.data)).all()
+
+
+def test_ppp_schur_bounded_iterations():
+    """The wave-equation Schur preconditioner (AssembledSchurPC analogue)
+    makes the dg-cg corrector converge within a tight Krylov budget at
+    wave CFL ~ 10 (ref ``assembledschur.py``, ``timeintegrator.py:
+    305-464``): a single 30-iteration FGMRES cycle preserves the standing
+    wave, where an unpreconditioned budget this small would stall (the
+    divergence guard in solvers.newton poisons stalled solves with NaN).
+    """
+    from thetis_tpu.solvers.newton import NewtonParameters
+
+    lx, ly, nx = 5e3, 1e3, 100
+    depth = 100.0
+    g = float(physical_constants["g_grav"])
+    c = math.sqrt(g * depth)
+    period = 2 * lx / c
+    dt = period / 20  # wave CFL = c dt / dx ~ 10
+
+    mesh2d = RectangleMesh(nx, 1, lx, ly)
+    p1 = FunctionSpace(mesh2d, "CG", 1)
+    so = solver2d.FlowSolver2d(mesh2d, Function(p1).assign(depth))
+    o = so.options
+    o.element_family = "dg-cg"
+    o.timestep = dt
+    o.simulation_export_time = dt * 20
+    o.simulation_end_time = period - 0.1 * dt
+    o.no_exports = True
+    o.swe_timestepper_type = "PressureProjectionPicard"
+    o.swe_timestepper_options.solver_parameters = NewtonParameters(
+        ksp_rtol=1e-10, ksp_max_it=30, gmres_restart=30,
+    )
+    so.create_function_spaces()
+    H2 = so.function_spaces.H_2d
+    e0 = Function(H2).interpolate(lambda x, y: np.cos(np.pi * x / lx))
+    so.assign_initial_conditions(elev=e0)
+    so.initialize()
+    assert so.timestepper.use_schur_pc
+    so.iterate()
+    exact = Function(H2).interpolate(lambda x, y: np.cos(np.pi * x / lx))
+    rel_err = float(
+        so.eq_sw.norm_elev(so.fields.elev_2d.data - exact.data)
+    ) / math.sqrt(lx * ly)
+    assert np.isfinite(rel_err)
+    assert rel_err < 5e-3, f"Schur-PC corrector lost the wave: {rel_err}"

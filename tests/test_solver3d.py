@@ -218,3 +218,75 @@ def test_leapfrog_am3():
     x = np.asarray(xy[..., 0])
     front = np.abs(x - 4e3) < 2e3
     assert uv3[:, :, 0, 0, 0][front].mean() > 0
+
+
+def test_3d_callbacks(tmp_path):
+    """VerticalProfile/Transect/Accumulator callbacks attached to the 3D
+    solver (ref ``callback.py:588-1107``)."""
+    from thetis_tpu.model.callback import (
+        VerticalProfileCallback, TransectCallback, AccumulatorCallback,
+    )
+
+    so = make_solver3d(nx=8, nz=4)
+    so.options.output_directory = str(tmp_path)
+    V = FunctionSpace(so.mesh2d, "DG", 1)
+    t2d = Function(V).interpolate(lambda x, y: 10.0 + 2.0 * x / 20e3)
+    so.assign_initial_conditions(temp=t2d.data, salt=35.0)
+
+    prof_cb = VerticalProfileCallback(
+        so, ["temp_3d", "uv_3d"], 10e3, 2e3, "midpoint",
+        export_to_hdf5=True, append_to_log=False)
+    trans_cb = TransectCallback(
+        so, ["salt_3d"], [5e3, 10e3, 15e3], [2e3, 2e3, 2e3], "axis",
+        export_to_hdf5=True, append_to_log=False)
+    acc_cb = AccumulatorCallback(
+        lambda: float(np.asarray(so.fields.elev_2d.data).max()), so)
+    so.add_callback(prof_cb)
+    so.add_callback(trans_cb)
+    so.add_callback(acc_cb)
+    so.iterate()
+
+    vals = prof_cb()
+    z, temp, uv = vals
+    assert len(z) == so.n_layers + 1
+    assert z[0] == pytest.approx(-20.0, abs=0.5) and z[-1] > -1.0
+    assert abs(temp.mean() - 11.0) < 1.5  # linear profile mean ~ 11 at x=10e3
+    tvals = trans_cb()
+    assert len(tvals[0]) == 3 * (so.n_layers + 1)
+    assert np.allclose(tvals[1], 35.0, atol=1e-6)
+    assert acc_cb.get_val() != 0.0 or acc_cb.old_value is not None
+    # hdf5 diagnostics written
+    import glob
+    assert glob.glob(str(tmp_path / "diagnostic_vertprofile*.hdf5"))
+    assert glob.glob(str(tmp_path / "diagnostic_transect*.hdf5"))
+
+
+def test_density_weak_and_velocity_magnitude():
+    """DensitySolverWeak matches the pointwise solver for the linear EOS;
+    VelocityMagnitudeSolver clips at min_val (ref ``utility3d.py:
+    271-380``)."""
+    from thetis_tpu.equations.utility3d import (
+        DensitySolver, DensitySolverWeak, VelocityMagnitudeSolver,
+    )
+    from thetis_tpu.equations.eos import LinearEquationOfState
+
+    so = make_solver3d(nx=6, nz=3)
+    so.assign_initial_conditions(salt=34.0, temp=12.0)
+    so.initialize()
+    geom = so.asm3d.layer_geometry(
+        so.extruded.z_interfaces(so.bathy_cell, so.fields.elev_2d.data)
+    )
+    eos = LinearEquationOfState()
+    rho_pt = DensitySolver(eos).solve(so.fields.salt_3d.data,
+                                      so.fields.temp_3d.data)
+    rho_wk = DensitySolverWeak(so.asm3d, eos).solve(
+        so.fields.salt_3d.data, so.fields.temp_3d.data, geom)
+    assert np.allclose(np.asarray(rho_pt), np.asarray(rho_wk), atol=1e-8)
+
+    vms = VelocityMagnitudeSolver(so.asm3d, min_val=1e-3)
+    uv = jnp.full(so.shape3 + (2,), 0.0)
+    mag = vms.solve(geom, uv=uv, w=None)
+    assert float(jnp.abs(mag - 1e-3).max()) < 1e-12  # clipped at min_val
+    uv3 = uv.at[...].set(jnp.asarray([3.0, 4.0]))
+    mag2 = vms.solve(geom, uv=uv3)
+    assert float(jnp.abs(mag2 - 5.0).max()) < 1e-8

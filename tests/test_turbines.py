@@ -163,3 +163,66 @@ def test_rotor_shear_averaging():
     assert jnp.isfinite(p).all() and jnp.isfinite(cd).all()
     p0 = turbine(0.4 * 40.0).power(uv, depth)
     assert float(p[0, 0]) < float(p0[0, 0])
+
+
+def test_minimum_distance_constraints():
+    """Pairwise distance constraints + analytic Jacobian
+    (ref ``turbines.py:293-368``)."""
+    from thetis_tpu.model.turbines import MinimumDistanceConstraints
+
+    pos = [[0.0, 0.0], [100.0, 0.0], [0.0, 40.0]]
+    mdc = MinimumDistanceConstraints(pos, minimum_distance=50.0)
+    assert mdc.length() == 3
+    m = np.asarray([x for xy in pos for x in xy])
+    f = mdc.function(m)
+    # pair (1,0): 100 apart -> positive; (2,0): 40 apart -> negative
+    assert f[0] > 0 and f[1] < 0
+    # finite-difference check of the Jacobian
+    J = mdc.jacobian(m)
+    eps = 1e-6
+    for k in range(len(m)):
+        mp = m.copy(); mp[k] += eps
+        mm = m.copy(); mm[k] -= eps
+        fd = (mdc.function(mp) - mdc.function(mm)) / (2 * eps)
+        assert np.allclose(J[:, k], fd, atol=1e-4)
+
+
+def test_load_turbine_file(tmp_path):
+    """YAML/JSON turbine definition loader (ref ``turbines.py:371-419``)."""
+    from thetis_tpu.model.turbines import load_turbine
+
+    import json
+    cfg = {
+        "name": "test_turbine",
+        "turbine_thrust_def": "table",
+        "diameter": 20.0,
+        "curves": {
+            "speeds": [0.0, 1.0, 2.0, 3.0],
+            "thrust": [0.0, 0.6, 0.8, 0.7],
+            "power": [0.0, 0.3, 0.45, 0.4],
+        },
+        "support_structure": {
+            "type": "monopile", "rel_hub_height": 0.5,
+            "C_support": 0.7, "A_support": 25.0,
+        },
+        "upwind_correction": False,
+    }
+    jpath = tmp_path / "turbine.json"
+    jpath.write_text(json.dumps(cfg))
+    opts = load_turbine(str(jpath))
+    assert opts.turbine_type == "table"
+    assert opts.turbine_options.diameter == 20.0
+    assert opts.turbine_options.thrust_speeds == [0.0, 1.0, 2.0, 3.0]
+    assert opts.turbine_options.structure_type == "monopile"
+    assert opts.turbine_options.C_support == 0.7
+    assert opts.upwind_correction is False
+
+    import yaml
+    ypath = tmp_path / "turbine.yml"
+    cfg2 = dict(cfg, turbine_thrust_def="constant",
+                thrust_coefficient=0.75, power_coefficient=0.4)
+    del cfg2["curves"]
+    ypath.write_text(yaml.safe_dump(cfg2))
+    opts2 = load_turbine(str(ypath), discrete=False)
+    assert opts2.turbine_options.thrust_coefficient == 0.75
+    assert opts2.turbine_type == "constant"

@@ -128,3 +128,27 @@ def test_pacanowski_philander():
     assert float(nu0) == pytest.approx(5e-2, rel=1e-3)
     assert float(nu1) < float(nu0)
     assert float(mu1) < float(mu0)
+
+
+def test_stability_function_variants():
+    """All registered stability-function families produce the published
+    cmu0 values (Umlauf & Burchard 2005 Table 4) and finite limited
+    evaluations (ref ``stability_functions.py:363-822``)."""
+    import numpy as np
+    from thetis_tpu.equations.stability_functions import STABILITY_FUNCTIONS
+
+    published_cmu0 = {
+        "Canuto A": 0.5270, "Canuto B": 0.5540, "Cheng": 0.5270,
+        "Canuto A GOTM": 0.5265, "Canuto B GOTM": 0.5540,
+        "Kantha-Clayson": 0.5549, "Cheng GOTM": 0.5270,
+    }
+    for name, cls in STABILITY_FUNCTIONS.items():
+        sf = cls()
+        cmu0 = float(sf.compute_cmu0())
+        assert abs(cmu0 - published_cmu0[name]) < 2e-3, (name, cmu0)
+        c3 = float(sf.compute_c3_minus(1.44, 1.92, 0.25))
+        assert -1.5 < c3 < 0.0, (name, c3)
+        sm, sh = sf.evaluate(np.asarray(1e-4), np.asarray(-1e-5),
+                             np.asarray(1e-5), np.asarray(1e-6))
+        assert np.isfinite(float(sm)) and np.isfinite(float(sh))
+        assert float(sm) > 0 and float(sh) > 0

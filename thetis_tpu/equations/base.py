@@ -100,12 +100,19 @@ class EquationBase:
         self.terms.append((name, label, method))
 
     def select_terms(self, label):
+        """Select by label ('implicit', frozenset of labels, 'all') or by
+        exact term *names* (any entry matching a registered term name
+        switches to name-based selection — used by block preconditioners
+        that need individual operators, cf. AssembledSchurPC)."""
         if label == "all":
             labels = SUPPORTED_LABELS
         elif isinstance(label, str):
             labels = frozenset([label])
         else:
             labels = frozenset(label)
+        names = {n for (n, _, _) in self.terms}
+        if labels & names:
+            return [(n, m) for (n, l, m) in self.terms if n in labels]
         return [(n, m) for (n, l, m) in self.terms if l in labels]
 
     # -- boundary classification (static, host side) --------------------

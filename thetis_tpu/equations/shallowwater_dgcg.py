@@ -178,6 +178,9 @@ class ShallowWaterEquationsDGCG(ShallowWaterEquations):
         c["uv_old_tr"] = petr[..., 2:4]
         c["eta_q"] = self.eta_cell_values(eta)
         c["eta_old_q"] = self.eta_cell_values(eta_old)
+        # CG2 elevation gradient at cell quad points (direct-form epg)
+        c["eta_grad_q"] = jnp.einsum(
+            "cqdi,cd->cqi", self.gphi2q, eta[self.cnm])
         c["eta_tr"] = self.eta_traces(eta)
         c["eta_old_tr"] = self.eta_traces(eta_old)
         c["H_q"] = self.depth.total_depth(
@@ -194,6 +197,30 @@ class ShallowWaterEquationsDGCG(ShallowWaterEquations):
         c["fields"] = fields
         c["bnd_values"] = bnd_values
         return c
+
+    def _t_epg(self, c, B):
+        """CG elevation: direct-gradient form (ref ``shallowwater_eq.py:
+        384-393``, the ``eta_is_dg=False`` branch) — no interior facet
+        terms, so the velocity block of the wave system stays a pure DG
+        mass matrix (the AssembledSchurPC assumption, ref
+        ``timeintegrator.py:358-364``).  Open boundaries get the linear
+        Riemann correction ``g (eta_rie - eta) psi.n``."""
+        g = self.g
+        B["uv_cell"].add(-g * c["eta_grad_q"])
+        n = c["n"]
+        eta_b = c["eta_tr"][:, 0]
+        uv_b = c["uv_tr"][:, 0]
+        H_b = c["H_tr"][:, 0]
+        srt = jnp.sqrt(jnp.abs(H_b) / g)
+        un_jump = ((uv_b - c["uv_ext"]) * n).sum(-1)
+        eta_rie = 0.5 * (eta_b + c["eta_ext"]) + srt * un_jump
+        contrib = (
+            -g * (eta_rie - eta_b)[..., None] * n
+            * self._mask_q(self.mask_open, 1)
+        )
+        B["uv_facet"].add(
+            jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1)
+        )
 
     def residual(self, label, solution, solution_old, fields, fields_old,
                  bnd_values):

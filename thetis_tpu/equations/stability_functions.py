@@ -18,6 +18,10 @@ __all__ = [
     "StabilityFunctionCanutoA",
     "StabilityFunctionCanutoB",
     "StabilityFunctionCheng",
+    "GOTMStabilityFunctionCanutoA",
+    "GOTMStabilityFunctionCanutoB",
+    "GOTMStabilityFunctionKanthaClayson",
+    "GOTMStabilityFunctionCheng",
     "compute_normalized_frequencies",
     "STABILITY_FUNCTIONS",
 ]
@@ -90,6 +94,15 @@ class CanutoStabilityFunctionBase:
                   + self.nb2 * alpha_shear) / den
         return c_mu, c_mu_p
 
+    @staticmethod
+    def _quad_root(a, b, c, sign=+1.0):
+        """Root of a x^2 + b x + c = 0, degenerating to the linear root
+        when a ~ 0 (e.g. Kantha-Clayson, where ab1 = ab2 kills the
+        quadratic coefficient)."""
+        if abs(a) < 1e-14 * max(abs(b), 1.0):
+            return -c / b
+        return (-b + sign * np.sqrt(b**2 - 4 * a * c)) / 2 / a
+
     def compute_alpha_shear_steady(self, ri_st):
         """Steady-state alpha_M (Umlauf & Burchard 2005 eq A.19;
         ref L132-168)."""
@@ -97,7 +110,7 @@ class CanutoStabilityFunctionBase:
              - (self.d4 + self.nb1) * ri_st**2)
         b = -self.d2 + self.n0 - (self.d1 + self.nb0) * ri_st
         c = -self.d0
-        return (-b + np.sqrt(b**2 - 4 * a * c)) / 2 / a
+        return self._quad_root(a, b, c, +1.0)
 
     def compute_c3_minus(self, c1, c2, ri_st):
         """c3_minus from the steady-state Richardson number
@@ -112,7 +125,7 @@ class CanutoStabilityFunctionBase:
         a = self.d5 - self.n2
         b = self.d2 - self.n0
         c = self.d0
-        a_shear = (-b - np.sqrt(b**2 - 4 * a * c)) / 2 / a
+        a_shear = self._quad_root(a, b, c, -1.0)
         s_m, _ = self.eval_funcs(0.0, a_shear)
         return s_m**0.25
 
@@ -201,8 +214,103 @@ class StabilityFunctionCheng(CanutoStabilityFunctionBase):
     name = "Cheng"
 
 
+class GOTMStabilityFunctionBase(CanutoStabilityFunctionBase):
+    """GOTM-form stability functions parameterised by the (cc1..cc6,
+    cb1..cb5, cbb) closure constants of Umlauf & Burchard (2005) Table 1
+    (ref ``stability_functions.py:363-478``).  The d*/n*/nb* polynomial
+    coefficients follow U&B (2005) eq A.9-A.12; the evaluation, limiter
+    and derived-parameter machinery is shared with the Canuto-form base.
+    """
+
+    cc1 = cc2 = cc3 = cc4 = cc5 = cc6 = None
+    cb1 = cb2 = cb3 = cb4 = cb5 = cbb = None
+
+    def __init__(self, lim_alpha_shear=True, lim_alpha_buoy=True,
+                 smooth_alpha_buoy_lim=True, alpha_buoy_crit=-1.2):
+        # intentionally NOT calling the Canuto-form __init__: the
+        # polynomial coefficients come from the GOTM constants instead
+        self.lim_alpha_shear = lim_alpha_shear
+        self.lim_alpha_buoy = lim_alpha_buoy
+        self.smooth_alpha_buoy_lim = smooth_alpha_buoy_lim
+        self.alpha_buoy_crit = alpha_buoy_crit
+        # U&B (2005) eq A.10
+        a1 = 2.0 / 3.0 - 0.5 * self.cc2
+        a2 = 1.0 - 0.5 * self.cc3
+        a3 = 1.0 - 0.5 * self.cc4
+        a5 = 0.5 - 0.5 * self.cc6
+        ab1 = 1.0 - self.cb2
+        ab2 = 1.0 - self.cb3
+        ab3 = 2.0 * (1.0 - self.cb4)
+        ab4 = 2.0 * (1.0 - self.cb5)
+        ab5 = 2.0 * self.cbb * (1.0 - self.cb5)
+        del ab4  # enters only through ab5 in this family
+        # U&B (2005) eq A.12
+        nn = 0.5 * self.cc1
+        nb = self.cb1
+        # U&B (2005) eq A.9
+        self.d0 = 36.0 * nn**3 * nb**2
+        self.d1 = (84.0 * a5 * ab3 * nn**2 * nb
+                   + 36.0 * ab5 * nn**3 * nb)
+        self.d2 = (9.0 * (ab2**2 - ab1**2) * nn**3
+                   - 12.0 * (a2**2 - 3.0 * a3**2) * nn * nb**2)
+        self.d3 = (12.0 * a5 * ab3 * (a2 * ab1 - 3.0 * a3 * ab2) * nn
+                   + 12.0 * a5 * ab3 * (a3**2 - a2**2) * nb
+                   + 12.0 * ab5 * (3.0 * a3**2 - a2**2) * nn * nb)
+        self.d4 = (48.0 * a5**2 * ab3**2 * nn
+                   + 36.0 * a5 * ab3 * ab5 * nn**2)
+        self.d5 = (3.0 * (a2**2 - 3.0 * a3**2)
+                   * (ab1**2 - ab2**2) * nn)
+        self.n0 = 36.0 * a1 * nn**2 * nb**2
+        self.n1 = (-12.0 * a5 * ab3 * (ab1 + ab2) * nn**2
+                   + 8.0 * a5 * ab3 * (6.0 * a1 - a2 - 3.0 * a3) * nn * nb
+                   + 36.0 * a1 * ab5 * nn**2 * nb)
+        self.n2 = 9.0 * a1 * (ab2**2 - ab1**2) * nn**2
+        self.nb0 = 12.0 * ab3 * nn**3 * nb
+        self.nb1 = 12.0 * a5 * ab3**2 * nn**2
+        self.nb2 = (9.0 * a1 * ab3 * (ab1 - ab2) * nn**2
+                    + (6.0 * a1 * (a2 - 3.0 * a3)
+                       - 4.0 * (a2**2 - 3.0 * a3**2)) * ab3 * nn * nb)
+
+
+class GOTMStabilityFunctionCanutoA(GOTMStabilityFunctionBase):
+    """Canuto et al. (2001) version A, GOTM constants
+    (U&B 2005 Table 1; ref L742-761)."""
+
+    cc1, cc2, cc3, cc4, cc5, cc6 = 5.0, 0.8, 1.968, 1.136, 0.0, 0.4
+    cb1, cb2, cb3, cb4, cb5, cbb = 5.95, 0.6, 1.0, 0.0, 0.3333, 0.72
+    name = "Canuto A GOTM"
+
+
+class GOTMStabilityFunctionCanutoB(GOTMStabilityFunctionBase):
+    """Canuto et al. (2001) version B, GOTM constants (ref L763-782)."""
+
+    cc1, cc2, cc3, cc4, cc5, cc6 = 5.0, 0.6983, 1.9664, 1.094, 0.0, 0.495
+    cb1, cb2, cb3, cb4, cb5, cbb = 5.6, 0.6, 1.0, 0.0, 0.3333, 0.477
+    name = "Canuto B GOTM"
+
+
+class GOTMStabilityFunctionKanthaClayson(GOTMStabilityFunctionBase):
+    """Kantha & Clayson (1994) quasi-equilibrium (ref L784-803)."""
+
+    cc1, cc2, cc3, cc4, cc5, cc6 = 6.0, 0.32, 0.0, 0.0, 0.0, 0.0
+    cb1, cb2, cb3, cb4, cb5, cbb = 3.728, 0.7, 0.7, 0.0, 0.2, 0.6102
+    name = "Kantha-Clayson"
+
+
+class GOTMStabilityFunctionCheng(GOTMStabilityFunctionBase):
+    """Cheng et al. (2002) quasi-equilibrium (ref L805-822)."""
+
+    cc1, cc2, cc3, cc4, cc5, cc6 = 5.0, 0.7983, 1.968, 1.136, 0.0, 0.5
+    cb1, cb2, cb3, cb4, cb5, cbb = 5.52, 0.2134, 0.357, 0.0, 0.3333, 0.82
+    name = "Cheng GOTM"
+
+
 STABILITY_FUNCTIONS = {
     "Canuto A": StabilityFunctionCanutoA,
     "Canuto B": StabilityFunctionCanutoB,
     "Cheng": StabilityFunctionCheng,
+    "Canuto A GOTM": GOTMStabilityFunctionCanutoA,
+    "Canuto B GOTM": GOTMStabilityFunctionCanutoB,
+    "Kantha-Clayson": GOTMStabilityFunctionKanthaClayson,
+    "Cheng GOTM": GOTMStabilityFunctionCheng,
 }

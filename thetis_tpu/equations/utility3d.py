@@ -25,6 +25,8 @@ from ..config import physical_constants
 __all__ = [
     "VerticalVelocitySolver",
     "DensitySolver",
+    "DensitySolverWeak",
+    "VelocityMagnitudeSolver",
     "BaroclinicHeadCalculator",
     "SmagorinskyViscosity",
     "expand_function_to_3d",
@@ -94,6 +96,50 @@ class DensitySolver:
     def solve(self, salt, temp, pressure=0.0):
         """density anomaly rho' = rho(S,T,p) - rho0."""
         return self.eos.compute_rho(salt, temp, pressure, self.rho0)
+
+
+class DensitySolverWeak:
+    """Weak (L2-projected) EOS evaluation: the analytical density
+    expression is evaluated at quadrature points and projected onto the
+    density field (ref ``utility3d.py:271-327``).  Differs from the
+    pointwise :class:`DensitySolver` when the EOS is nonlinear (Jackett)
+    — the projection is variationally consistent with the pressure
+    gradient assembly."""
+
+    def __init__(self, asm3d, eos, rho0=None):
+        self.asm3d = asm3d
+        self.eos = eos
+        self.rho0 = physical_constants["rho0"] if rho0 is None else rho0
+
+    def solve(self, salt, temp, geom, pressure=0.0):
+        a3 = self.asm3d
+        s_q = a3.cell_values(salt)
+        t_q = a3.cell_values(temp)
+        rho_q = self.eos.compute_rho(s_q, t_q, pressure, self.rho0)
+        return a3.mass_inverse(a3.cell_to_dofs(rho_q, geom), geom)
+
+
+class VelocityMagnitudeSolver:
+    """Magnitude of (u, v, w) L2-projected onto a scalar 3D field, with
+    a minimum-value clip (ref ``utility3d.py:330-380``).  ``uv`` or ``w``
+    may be None to take the magnitude of the other alone."""
+
+    def __init__(self, asm3d, min_val=1e-6):
+        self.asm3d = asm3d
+        self.min_val = float(min_val)
+
+    def solve(self, geom, uv=None, w=None):
+        a3 = self.asm3d
+        s = 0.0
+        if uv is not None:
+            uv_q = a3.cell_values(uv)
+            s = s + (uv_q ** 2).sum(axis=-1)
+        if w is not None:
+            w_q = a3.cell_values(w)
+            s = s + w_q ** 2
+        mag_q = jnp.sqrt(s)
+        out = a3.mass_inverse(a3.cell_to_dofs(mag_q, geom), geom)
+        return jnp.maximum(out, self.min_val)
 
 
 class BaroclinicHeadCalculator:

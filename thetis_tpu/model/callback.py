@@ -278,3 +278,145 @@ class TimeSeriesCallback2D(DetectorsCallback):
             name=f"timeseries_{location_name}", detector_names=[location_name],
             **kwargs,
         )
+
+
+class AccumulatorCallback(DiagnosticCallback):
+    """Time-integral of a scalar spatial functional (trapezium rule),
+    e.g. time-dependent objective functionals for adjoint runs
+    (ref ``callback.py:588-627``)."""
+
+    variable_names = ["spatial integral at current timestep"]
+
+    def __init__(self, scalar_callback, solver_obj, name="accumulator",
+                 **kwargs):
+        kwargs.setdefault("export_to_hdf5", False)
+        kwargs.setdefault("append_to_log", False)
+        self.name = name
+        super().__init__(solver_obj, **kwargs)
+        self.scalar_callback = scalar_callback
+        self.dt = float(solver_obj.options.timestep)
+        self.integrant = 0.0
+        self.old_value = None
+
+    def __call__(self):
+        value = float(self.scalar_callback())
+        if self.old_value is not None:
+            self.integrant += 0.5 * (self.old_value + value) * self.dt
+        self.old_value = value
+        return [value]
+
+    def get_val(self):
+        return self.integrant
+
+    def message_str(self, *args):
+        return f"{self.name} value {args[0]:11.4e}"
+
+
+def _profile_at_point(solver_obj, field_data, cell, bary):
+    """Vertical interface profile of a dense 3D field (nc, 3, nz, 2[, k])
+    at one horizontal point: (nz+1[, k]) values (DG layers averaged at
+    interior interfaces) and the interface z coordinates."""
+    import jax.numpy as jnp
+
+    d = np.asarray(field_data[cell])  # (3, nz, 2[, k])
+    prof_bot = d[:, :, 0]             # (3, nz[, k]) bottom values
+    prof_top = d[:, :, 1]
+    interior = 0.5 * (prof_top[:, :-1] + prof_bot[:, 1:])
+    prof = np.concatenate(
+        [prof_bot[:, :1], interior, prof_top[:, -1:]], axis=1
+    )  # (3, nz+1[, k])
+    prof_p = np.einsum("d,dz...->z...", bary, prof)
+    z_if = np.asarray(solver_obj.extruded.z_interfaces(
+        solver_obj.bathy_cell,
+        jnp.asarray(np.asarray(solver_obj.fields.elev_2d.data)),
+    ))[cell]  # (3, nz+1)
+    z_p = np.einsum("d,dz->z", bary, z_if)
+    return prof_p, z_p
+
+
+class VerticalProfileCallback(DiagnosticCallback):
+    """Extract vertical profiles of 3D fields at an (x, y) location
+    (ref ``callback.py:860-1000`` ``VerticalProfileCallback``): values at
+    the layer interfaces of the column containing the point, plus the
+    interface z coordinates (first variable)."""
+
+    def __init__(self, solver_obj, fieldnames, x, y, location_name,
+                 **kwargs):
+        self.fieldnames = list(fieldnames)
+        self.location_name = location_name
+        short = "-".join(f.split("_")[0] for f in self.fieldnames)
+        self.name = f"vertprofile_{location_name}_{short}"
+        self.variable_names = ["z_coord"] + list(self.fieldnames)
+        nz1 = solver_obj.n_layers + 1
+        super().__init__(solver_obj, array_dim=nz1, **kwargs)
+        det = DetectorsCallback.__new__(DetectorsCallback)
+        det.solver_obj = solver_obj
+        det._locate(np.asarray([[x, y]], dtype=float))
+        self.cell = int(det.cell_ids[0])
+        self.bary = det.bary[0]
+
+    def __call__(self):
+        out = None
+        vals = []
+        for fname in self.fieldnames:
+            data = np.asarray(self.solver_obj.fields[fname].data)
+            prof, z = _profile_at_point(
+                self.solver_obj, data, self.cell, self.bary
+            )
+            if out is None:
+                out = [z]
+            if prof.ndim > 1:  # vector: magnitude (ref stores components
+                # separately; magnitude keeps array_dim uniform)
+                prof = np.linalg.norm(prof, axis=-1)
+            vals.append(prof)
+        return out + vals
+
+    def message_str(self, *args):
+        return (f"{self.name}: profile range "
+                + " ".join(f"{v.min():.3g}..{v.max():.3g}"
+                           for v in args[1:]))
+
+
+class TransectCallback(DiagnosticCallback):
+    """Extract fields on a vertical transect along a horizontal polyline
+    (ref ``callback.py:1000-1107`` ``TransectCallback``): one flattened
+    (n_points * (nz+1)) array per field, plus the z coordinates."""
+
+    def __init__(self, solver_obj, fieldnames, x, y, location_name,
+                 n_points=None, **kwargs):
+        self.fieldnames = list(fieldnames)
+        x = np.atleast_1d(np.asarray(x, dtype=float))
+        y = np.atleast_1d(np.asarray(y, dtype=float))
+        assert x.shape == y.shape
+        pts = np.stack([x, y], axis=-1)
+        short = "-".join(f.split("_")[0] for f in self.fieldnames)
+        self.name = f"transect_{location_name}_{short}"
+        self.variable_names = ["z_coord"] + list(self.fieldnames)
+        nz1 = solver_obj.n_layers + 1
+        super().__init__(solver_obj, array_dim=len(pts) * nz1, **kwargs)
+        det = DetectorsCallback.__new__(DetectorsCallback)
+        det.solver_obj = solver_obj
+        det._locate(pts)
+        self.cells = det.cell_ids
+        self.barys = det.bary
+
+    def __call__(self):
+        zs = []
+        profs = {f: [] for f in self.fieldnames}
+        for c, b in zip(self.cells, self.barys):
+            for fname in self.fieldnames:
+                data = np.asarray(self.solver_obj.fields[fname].data)
+                prof, z = _profile_at_point(self.solver_obj, data, int(c), b)
+                if prof.ndim > 1:
+                    prof = np.linalg.norm(prof, axis=-1)
+                profs[fname].append(prof)
+            zs.append(z)
+        out = [np.concatenate(zs)]
+        for fname in self.fieldnames:
+            out.append(np.concatenate(profs[fname]))
+        return out
+
+    def message_str(self, *args):
+        return (f"{self.name}: transect range "
+                + " ".join(f"{v.min():.3g}..{v.max():.3g}"
+                           for v in args[1:]))

@@ -88,8 +88,8 @@ class FlowSolver2d:
         """ref ``solver2d.py:307-352``; dg-dg and dg-cg families."""
         mesh = self.mesh2d
         family = self.options.element_family
-        assert family in ("dg-dg", "dg-cg"), (
-            "element families implemented so far: dg-dg, dg-cg"
+        assert family in ("dg-dg", "dg-cg", "rt-dg"), (
+            "element families implemented so far: dg-dg, dg-cg, rt-dg"
         )
         p = self.options.polynomial_degree
         self.function_spaces = type("FS", (), {})()
@@ -97,19 +97,32 @@ class FlowSolver2d:
         fs.P0_2d = FunctionSpace(mesh, "DG", 0)
         fs.P1_2d = FunctionSpace(mesh, "CG", 1)
         fs.P1DG_2d = FunctionSpace(mesh, "DG", 1)
-        fs.U_2d = FunctionSpace(mesh, "DG", p, dim=2)
-        if family == "dg-cg":
-            # P1DG velocity x P2 CG elevation (ref solver2d.py:318-321)
-            fs.H_2d = FunctionSpace(mesh, "CG", p + 1)
+        if family == "rt-dg":
+            # lowest-order mimetic pair RT1 x P0 (ref solver2d.py:329-336
+            # uses U = RT(p+1), H = DG(p); implemented member: p = 0)
+            assert p == 0, (
+                "rt-dg implements the lowest-order pair RT1 x P0: set "
+                "options.polynomial_degree = 0"
+            )
+            from ..fem.rt import RTSpace
+
+            self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", 1))
+            fs.U_2d = RTSpace(mesh, self.asm)
+            fs.H_2d = FunctionSpace(mesh, "DG", 0)
         else:
-            fs.H_2d = FunctionSpace(mesh, "DG", p)
+            fs.U_2d = FunctionSpace(mesh, "DG", p, dim=2)
+            if family == "dg-cg":
+                # P1DG velocity x P2 CG elevation (ref solver2d.py:318-321)
+                fs.H_2d = FunctionSpace(mesh, "CG", p + 1)
+            else:
+                fs.H_2d = FunctionSpace(mesh, "DG", p)
+            # the assembly context always runs on the degree-p DG space; a
+            # CG elevation (dg-cg) gets its own tabulations in the equation
+            self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", p))
         if self.options.tracer_element_family == "cg":
             fs.Q_2d = FunctionSpace(mesh, "CG", 1)
         else:
             fs.Q_2d = FunctionSpace(mesh, "DG", 1)
-        # the assembly context always runs on the degree-p DG space; a CG
-        # elevation (dg-cg) gets its own tabulations in the equation class
-        self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", p))
         self._functions_created = False
 
     def create_fields(self):
@@ -234,13 +247,29 @@ class FlowSolver2d:
                 bnd_conditions=self.bnd_functions["shallow_water"],
                 tidal_farms=self.tidal_farms,
             )
+        elif o.element_family == "rt-dg":
+            from ..equations.shallowwater_rtdg import (
+                ShallowWaterEquationsRTDG,
+            )
+            assert not self.tidal_farms, (
+                "tidal farms are not implemented for rt-dg"
+            )
+            assert not (self.solve_nh or self.solve_tracer
+                        or self.solve_sediment or self.solve_exner), (
+                "rt-dg currently supports the plain shallow-water system"
+            )
+            self.eq_sw = ShallowWaterEquationsRTDG(
+                self.mesh2d, self.asm, self.function_spaces.U_2d, o,
+                bathymetry=bathy,
+                bnd_conditions=self.bnd_functions["shallow_water"],
+            )
         else:
             self.eq_sw = ShallowWaterEquations(
                 self.mesh2d, self.asm, o, bathymetry=bathy,
                 bnd_conditions=self.bnd_functions["shallow_water"],
                 tidal_farms=self.tidal_farms,
             )
-        self.depth = self.eq_sw.depth
+        self.depth = getattr(self.eq_sw, "depth", None)
         if self.solve_nh:
             from ..equations.nh import (
                 DepthIntegratedPoissonSolver, FreeSurfaceEquation2D,
@@ -767,6 +796,11 @@ class FlowSolver2d:
                 )
 
     def _interp_to(self, space, value):
+        if getattr(space, "family", "") == "RT":
+            v = value.data if isinstance(value, Function) else value
+            if isinstance(v, Constant):
+                v = v.value
+            return space.project_vector(v)
         if isinstance(value, Function):
             src = value
             if src.function_space is space:
@@ -810,6 +844,10 @@ class FlowSolver2d:
 
     def compute_volume_2d(self):
         eta = self.fields.elev_2d.data
+        if self.options.element_family == "rt-dg":
+            area = np.asarray(self.mesh2d.cell_area_np)
+            return float((area * np.asarray(eta[:, 0])).sum()
+                         + (area * np.asarray(self.eq_sw.bathy_c)).sum())
         if eta.ndim == 1:  # CG elevation (dg-cg family)
             eta_int = float(self.asm.integrate_cellq(
                 self.eq_sw.eta_cell_values(eta)))
@@ -826,11 +864,15 @@ class FlowSolver2d:
     def print_state(self, cputime, print_header=False):
         """ref ``solver2d.py:923-971``."""
         eta = self.fields.elev_2d.data
-        if eta.ndim == 1:  # CG elevation (dg-cg family)
+        if self.options.element_family == "rt-dg":
             norm_eta = float(self.eq_sw.norm_elev(eta))
+            norm_uv = float(self.eq_sw.norm_uv(self.fields.uv_2d.data))
+        elif eta.ndim == 1:  # CG elevation (dg-cg family)
+            norm_eta = float(self.eq_sw.norm_elev(eta))
+            norm_uv = float(self.asm.norm_l2(self.fields.uv_2d.data))
         else:
             norm_eta = float(self.asm.norm_l2(eta))
-        norm_uv = float(self.asm.norm_l2(self.fields.uv_2d.data))
+            norm_uv = float(self.asm.norm_l2(self.fields.uv_2d.data))
         line = (
             "{iexp:5d} {i:5d} T={t:10.2f} eta norm: {e:10.4f} "
             "u norm: {u:10.4f} {cpu:5.2f}"

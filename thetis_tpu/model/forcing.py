@@ -23,7 +23,9 @@ __all__ = [
     "compute_wind_stress",
     "smooth_wind_stress",
     "TidalBoundaryForcing",
+    "TPXOTidalBoundaryForcing",
     "ATMInterpolator",
+    "ATMNetCDFInterpolator",
     "CONSTITUENT_FREQUENCIES",
 ]
 
@@ -115,6 +117,89 @@ class TidalBoundaryForcing:
         return eta
 
 
+class TPXOTidalBoundaryForcing:
+    """File-driven tidal boundary forcing in the TPXO/OTPS netCDF format
+    (ref ``forcing.py:1086-1143`` ``TPXOTidalBoundaryForcing``).
+
+    Reads per-constituent complex elevation grids (variables ``hRe`` /
+    ``hIm`` over ``lon_z`` / ``lat_z``, constituent names in ``con``),
+    bilinearly interpolates them to the supplied boundary-node
+    coordinates, and synthesizes the nodal-corrected harmonic signal with
+    :class:`thetis_tpu.utils.tides.Tides` (the ``uptide`` analogue).
+
+    :arg latlon: (n, 2) array of (lat, lon) boundary-node coordinates
+    :arg init_date: timezone-aware datetime of simulation t=0
+    :kwarg constituents: subset to use (default: all found in the file)
+    :kwarg data_dir: directory containing ``elev_file``
+    """
+
+    coord_layout = "lon,lat"
+
+    def __init__(self, latlon, init_date, constituents=None, data_dir="",
+                 elev_file="h_tpxo9.v5a.nc"):
+        import os
+        from scipy.interpolate import RegularGridInterpolator
+        from ..utils.netcdf_io import NCFile
+        from ..utils.tides import Tides
+
+        path = os.path.join(data_dir, elev_file)
+        assert os.path.exists(path), f"File {path} not found."
+        latlon = np.asarray(latlon, dtype=float)
+        lat, lon = latlon[:, 0], latlon[:, 1]
+        with NCFile(path) as d:
+            con_raw = d.variables["con"][:]
+            if con_raw.dtype.kind in "SU":
+                names = ["".join(
+                    c.decode() if isinstance(c, bytes) else str(c)
+                    for c in row).strip().upper() for row in con_raw]
+            else:
+                names = [str(c).strip().upper() for c in con_raw]
+            lon_z = np.asarray(d.variables["lon_z"][:], dtype=float)
+            lat_z = np.asarray(d.variables["lat_z"][:], dtype=float)
+            if lon_z.ndim == 2:  # OTPS stores full 2D grids
+                lon_ax = lon_z[:, 0] if np.allclose(
+                    lon_z[:, 0], lon_z[:, -1]) else lon_z[0, :]
+                lat_ax = lat_z[0, :] if np.allclose(
+                    lat_z[0, :], lat_z[-1, :]) else lat_z[:, 0]
+            else:
+                lon_ax, lat_ax = lon_z, lat_z
+            h_re = np.asarray(d.variables["hRe"][:], dtype=float)
+            h_im = np.asarray(d.variables["hIm"][:], dtype=float)
+        # match the file's longitude convention (TPXO uses 0..360;
+        # regional extracts may use -180..180)
+        if lon_ax.max() > 180.0:
+            lon = lon % 360.0
+        else:
+            lon = (lon + 180.0) % 360.0 - 180.0
+        if constituents is not None:
+            wanted = [c.upper() for c in constituents]
+            missing = set(wanted) - set(names)
+            assert not missing, f"constituents not in {path}: {missing}"
+            sel = [names.index(c) for c in wanted]
+            names = wanted
+            h_re, h_im = h_re[sel], h_im[sel]
+        self.constituents = names
+        # bilinear interpolation of each constituent's complex amplitude
+        # to the boundary nodes; the hRe/hIm grids are (ncon, nlon, nlat)
+        pts = np.stack([lon, lat], axis=-1)
+        n = latlon.shape[0]
+        self.h_re = np.empty((n, len(names)))
+        self.h_im = np.empty((n, len(names)))
+        for i in range(len(names)):
+            for dst, grid in ((self.h_re, h_re[i]), (self.h_im, h_im[i])):
+                itp = RegularGridInterpolator(
+                    (lon_ax, lat_ax), grid, bounds_error=False,
+                    fill_value=None,
+                )
+                dst[:, i] = itp(pts)
+        self.tide = Tides(names)
+        self.tide.set_initial_time(init_date)
+
+    def set_tidal_field(self, t):
+        """Elevation (n,) at the boundary nodes at simulation time t."""
+        return self.tide.from_complex(self.h_re, self.h_im, t)
+
+
 class ATMInterpolator:
     """Interpolate atmospheric model fields (pressure, wind) in space and
     time onto mesh dof coordinates (ref ``forcing.py:82-275``).
@@ -137,6 +222,77 @@ class ATMInterpolator:
         prmsl = self.spatial.interpolate(src_lon, src_lat, data["prmsl"])
         uwind = self.spatial.interpolate(src_lon, src_lat, data["uwind"])
         vwind = self.spatial.interpolate(src_lon, src_lat, data["vwind"])
+        tau_x, tau_y = compute_wind_stress(uwind, vwind, self.method)
+        return dict(atmospheric_pressure=prmsl,
+                    wind_stress=np.stack([tau_x, tau_y], axis=-1))
+
+
+class ATMNetCDFInterpolator:
+    """File-driven atmospheric forcing: wind and mean-sea-level pressure
+    read from a netCDF file tree with a CF time axis, interpolated in
+    space (regular lat-lon grid, bilinear) and time (linear) onto mesh
+    node coordinates, wind converted to stress with the bulk formulae
+    (ref ``ATMNetCDFTime`` + ``ATMInterpolator``/``ERA5Interpolator``,
+    ``forcing.py:82-275``).
+
+    :arg target_lonlat: (n, 2) mesh node (lon, lat)
+    :arg ncfile_pattern: glob pattern of forcing files
+    :arg init_date: timezone-aware datetime of simulation t=0
+    :kwarg var_names: netCDF variable names, default ERA5-style
+        ``{'uwind': 'u10', 'vwind': 'v10', 'prmsl': 'msl'}``
+    """
+
+    def __init__(self, target_lonlat, ncfile_pattern, init_date,
+                 var_names=None, lon_name="lon", lat_name="lat",
+                 wind_stress_method="LargeYeager2009"):
+        from scipy.interpolate import RegularGridInterpolator
+        from ..utils.netcdf_io import NCFile, NetCDFTimeSearch
+        from ..utils.interpolation import LinearTimeInterpolator
+
+        self.vars = var_names or {
+            "uwind": "u10", "vwind": "v10", "prmsl": "msl"
+        }
+        self.method = wind_stress_method
+        self.target = np.asarray(target_lonlat, dtype=float)
+        self.timesearch = NetCDFTimeSearch(ncfile_pattern,
+                                           init_date=init_date)
+        with NCFile(self.timesearch.files[0]) as d:
+            self.lon_ax = np.asarray(d.variables[lon_name][:], dtype=float)
+            self.lat_ax = np.asarray(d.variables[lat_name][:], dtype=float)
+        self._rgi = RegularGridInterpolator  # bound for reader closures
+
+        def reader(filename, index):
+            with NCFile(filename) as d:
+                return {k: np.asarray(d.variables[v][index], dtype=float)
+                        for k, v in self.vars.items()}
+
+        self.time_interp = LinearTimeInterpolator(self.timesearch, reader)
+
+    def _to_mesh(self, grid_vals):
+        # grids may be (lat, lon) or (lon, lat); detect from shape
+        if grid_vals.shape == (len(self.lat_ax), len(self.lon_ax)):
+            axes, pts = (self.lat_ax, self.lon_ax), self.target[:, ::-1]
+        else:
+            axes, pts = (self.lon_ax, self.lat_ax), self.target
+        # descending axes (ERA5 latitude) need flipping
+        ax0, ax1 = axes
+        vals = grid_vals
+        if ax0[0] > ax0[-1]:
+            ax0, vals = ax0[::-1], vals[::-1]
+        if ax1[0] > ax1[-1]:
+            ax1, vals = ax1[::-1], vals[:, ::-1]
+        itp = self._rgi((ax0, ax1), vals, bounds_error=False,
+                        fill_value=None)
+        return itp(pts)
+
+    def set_fields(self, t):
+        """Interpolated forcing at simulation time ``t`` (seconds):
+        returns dict with ``wind_stress`` (n, 2) and
+        ``atmospheric_pressure`` (n,)."""
+        data = self.time_interp(t)
+        uwind = self._to_mesh(np.asarray(data["uwind"]))
+        vwind = self._to_mesh(np.asarray(data["vwind"]))
+        prmsl = self._to_mesh(np.asarray(data["prmsl"]))
         tau_x, tau_y = compute_wind_stress(uwind, vwind, self.method)
         return dict(atmospheric_pressure=prmsl,
                     wind_stress=np.stack([tau_x, tau_y], axis=-1))

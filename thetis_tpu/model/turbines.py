@@ -28,6 +28,8 @@ __all__ = [
     "TidalTurbineFarm",
     "DiscreteTidalTurbineFarm",
     "TurbineFunctionalCallback",
+    "MinimumDistanceConstraints",
+    "load_turbine",
 ]
 
 
@@ -348,3 +350,95 @@ class TurbineFunctionalCallback(DiagnosticCallback):
             f"Current power, average power and profit for each farm: "
             f"{current}, {avg_power}, {avg_profit}"
         )
+
+
+class MinimumDistanceConstraints:
+    """Minimum-distance inequality constraints between turbines for
+    position optimisation (ref ``turbines.py:293-368``): ``function(m)``
+    returns one value per turbine pair that must be positive, and
+    ``jacobian(m)`` its gradient; plugs into scipy SLSQP as
+    ``{'type': 'ineq', 'fun': ..., 'jac': ...}`` (the pyadjoint
+    InequalityConstraint analogue)."""
+
+    def __init__(self, turbine_positions, minimum_distance):
+        self._turbines = [float(xi) for xy in turbine_positions for xi in xy]
+        self._minimum_distance = float(minimum_distance)
+        self._nturbines = len(turbine_positions)
+
+    def length(self):
+        return int(self._nturbines * (self._nturbines - 1) / 2)
+
+    def function(self, m):
+        m = np.asarray(m, dtype=float)
+        out = []
+        for i in range(self._nturbines):
+            for j in range(i):
+                out.append(
+                    (m[2 * i] - m[2 * j]) ** 2
+                    + (m[2 * i + 1] - m[2 * j + 1]) ** 2
+                    - self._minimum_distance ** 2
+                )
+        out = np.asarray(out)
+        if (out <= 0).any():
+            print_output(
+                "Minimum distance inequality constraints (should all "
+                f"be > 0): {out}"
+            )
+        return out
+
+    def jacobian(self, m):
+        m = np.asarray(m, dtype=float)
+        grad = np.zeros((self.length(), self._nturbines * 2))
+        row = 0
+        for i in range(self._nturbines):
+            for j in range(i):
+                grad[row, 2 * i] = 2 * (m[2 * i] - m[2 * j])
+                grad[row, 2 * j] = -2 * (m[2 * i] - m[2 * j])
+                grad[row, 2 * i + 1] = 2 * (m[2 * i + 1] - m[2 * j + 1])
+                grad[row, 2 * j + 1] = -2 * (m[2 * i + 1] - m[2 * j + 1])
+                row += 1
+        return grad
+
+    def scipy_constraint(self):
+        """As a scipy.optimize constraint dict."""
+        return {"type": "ineq", "fun": self.function,
+                "jac": self.jacobian}
+
+
+def load_turbine(path, include_support=True, discrete=True):
+    """Load a turbine definition from a YAML or JSON file into a farm
+    options object (ref ``turbines.py:371-419``): supports constant and
+    table-based thrust/power curves and optional support-structure data.
+    """
+    import json
+
+    with open(path) as f:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            data = yaml.safe_load(f)
+        else:
+            data = json.load(f)
+
+    opts_cls = (DiscreteTidalTurbineFarmOptions if discrete
+                else TidalTurbineFarmOptions)
+    opts = opts_cls()
+    opts.turbine_type = data.get("turbine_thrust_def", "constant")
+    to = opts.turbine_options
+    if opts.turbine_type == "table":
+        to.thrust_speeds = data["curves"]["speeds"]
+        to.thrust_coefficients = data["curves"]["thrust"]
+        to.power_coefficients = data["curves"]["power"]
+    else:
+        to.thrust_coefficient = data["thrust_coefficient"]
+        to.power_coefficient = data.get("power_coefficient")
+    if include_support and "support_structure" in data:
+        ss = data["support_structure"]
+        to.structure_type = ss.get("type", "bottom-fixed")
+        to.rel_hub_height = ss.get("rel_hub_height")
+        to.C_support = ss.get("C_support", 0.0)
+        to.A_support = ss.get("A_support", 0.0)
+    to.diameter = data["diameter"]
+    if discrete:
+        opts.upwind_correction = data.get("upwind_correction", True)
+    return opts

@@ -15,7 +15,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.sparse.linalg import gmres
 
 __all__ = ["newton_solve", "NewtonParameters", "linear_solve"]
 
@@ -26,7 +25,7 @@ class NewtonParameters:
 
     def __init__(self, snes_rtol=1e-8, snes_atol=1e-10, snes_max_it=8,
                  ksp_rtol=1e-7, ksp_max_it=48, gmres_restart=16,
-                 line_search=False, dense=False):
+                 line_search=False, dense=False, monitor_convergence=False):
         self.snes_rtol = snes_rtol
         self.snes_atol = snes_atol
         self.snes_max_it = snes_max_it
@@ -37,11 +36,16 @@ class NewtonParameters:
         #: materialize the Jacobian and LU-solve (PETSc 'preonly'+'lu'
         #: analogue; for small/steady problems where Krylov stalls)
         self.dense = dense
+        #: PETSc error_on_nonconvergence analogue: check the final Krylov
+        #: residual after every solve and report divergence via
+        #: jax.debug.print (a host callback — leave off in production TPU
+        #: loops; the silent-divergence guard below is always on)
+        self.monitor_convergence = monitor_convergence
 
     def _key(self):
         return (self.snes_rtol, self.snes_atol, self.snes_max_it,
                 self.ksp_rtol, self.ksp_max_it, self.gmres_restart,
-                self.line_search, self.dense)
+                self.line_search, self.dense, self.monitor_convergence)
 
     def __hash__(self):
         return hash(self._key())
@@ -59,12 +63,81 @@ def _axpy(a, x, y):
     return jax.tree_util.tree_map(lambda xi, yi: a * xi + yi, x, y)
 
 
-def _linsolve(matvec, b, precond, params):
-    """Left-preconditioned GMRES: solve (M A) x = M b unpreconditioned.
+def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
+    """Restarted *flexible* GMRES (FGMRES, right-preconditioned) on flat
+    vectors: classic Arnoldi + small dense least-squares per cycle.
 
-    (jax.scipy gmres with M= mixes unpreconditioned atol with preconditioned
-    residual norms; when M rescales by ~detJ that stops the iteration
-    immediately, so we precondition explicitly.)"""
+    Written in-house rather than via ``jax.scipy.sparse.linalg.gmres``
+    for two reasons:
+
+    * jax's gmres wraps ``lax.custom_linear_solve``, which eagerly builds
+      a *transpose* of the operator — that rejects any preconditioner
+      that is mathematically linear but computationally nonlinear.  The
+      adjoint of the nonlinear solve is provided one level up by
+      ``newton_solve``'s ``custom_vjp``, so the Krylov internals never
+      need AD transposition.
+    * iteratively-defined preconditioners (the inner-CG wave-equation
+      Schur complement, ``solvers.schur``) are *nonlinear functions of
+      their input* (Krylov step lengths are dot-product ratios), which
+      standard GMRES cannot tolerate at all — FGMRES stores the
+      preconditioned vectors Z_j = M(v_j) and reconstructs the solution
+      from them (Saad 1993), exactly PETSc's ``-ksp_type fgmres``.
+
+    The Arnoldi orthogonalisation is a dense (m+1, n) GEMV pair per
+    iteration — MXU-friendly on TPU.  Convergence is monitored on the
+    true (unpreconditioned) residual, as in PETSc's right-preconditioned
+    norms."""
+    n = b.shape[0]
+    m = int(restart)
+    bnorm = jnp.linalg.norm(b)
+    tiny = jnp.asarray(1e-300, dtype=b.dtype)
+
+    def cycle(carry):
+        x, it, _ = carry
+        r = b - mv(x)
+        beta = jnp.linalg.norm(r)
+        V0 = jnp.zeros((m + 1, n), dtype=b.dtype)
+        V0 = V0.at[0].set(r / jnp.maximum(beta, tiny))
+        Z0 = jnp.zeros((m, n), dtype=b.dtype)
+        H0 = jnp.zeros((m + 1, m), dtype=b.dtype)
+
+        def arnoldi(j, VZH):
+            V, Z, H = VZH
+            z = M(V[j])
+            w = mv(z)
+            # Gram-Schmidt against all rows: rows > j are zero so their
+            # contribution vanishes — static shapes for jit
+            h = V @ w                         # (m+1,)
+            w = w - h @ V
+            hj1 = jnp.linalg.norm(w)
+            H = H.at[:, j].set(h).at[j + 1, j].set(hj1)
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, tiny))
+            Z = Z.at[j].set(z)
+            return V, Z, H
+
+        V, Z, H = jax.lax.fori_loop(0, m, arnoldi, (V0, Z0, H0))
+        e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+        # small (m+1, m) least squares (SVD-based: breakdown-safe — a
+        # rank-deficient H from early Arnoldi termination just yields the
+        # minimum-norm y)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        x = x + y @ Z
+        rnorm = jnp.linalg.norm(b - mv(x))
+        return x, it + 1, rnorm
+
+    def cond(carry):
+        _, it, rnorm = carry
+        return jnp.logical_and(it < max_cycles, rnorm > rtol * bnorm)
+
+    x0 = jnp.zeros_like(b)
+    x, _, rnorm = jax.lax.while_loop(
+        cond, cycle, (x0, 0, jnp.asarray(jnp.inf, dtype=b.dtype))
+    )
+    return x, rnorm, bnorm
+
+
+def _linsolve(matvec, b, precond, params):
+    """Right-preconditioned FGMRES solve of ``matvec(x) = b``."""
     if getattr(params, "dense", False):
         from jax.flatten_util import ravel_pytree
 
@@ -77,18 +150,36 @@ def _linsolve(matvec, b, precond, params):
         A = jax.vmap(mv_flat, in_axes=1, out_axes=1)(jnp.eye(n, dtype=b_flat.dtype))
         x_flat = jnp.linalg.solve(A, b_flat)
         return unravel(x_flat)
+    from jax.flatten_util import ravel_pytree
+
+    b_flat, unravel = ravel_pytree(b)
+
+    def mv(v):
+        return ravel_pytree(matvec(unravel(v)))[0]
+
     if precond is not None:
-        pa = lambda v: precond(matvec(v))  # noqa: E731
-        pb = precond(b)
+        M = lambda v: ravel_pytree(precond(unravel(v)))[0]  # noqa: E731
     else:
-        pa, pb = matvec, b
-    x, _ = gmres(
-        pa, pb, tol=params.ksp_rtol, atol=0.0,
-        restart=params.gmres_restart,
-        maxiter=max(1, params.ksp_max_it // params.gmres_restart),
-        solve_method="incremental",
+        M = lambda v: v  # noqa: E731
+
+    x_flat, rnorm, bnorm = _fgmres_flat(
+        mv, b_flat, M, params.ksp_rtol, params.gmres_restart,
+        max(1, params.ksp_max_it // params.gmres_restart),
     )
-    return x
+    # Krylov divergence guard (PETSc raises on KSP_DIVERGED_DTOL when the
+    # residual grows by divtol=1e4; under jit we poison the solution with
+    # NaN instead — downstream isfinite checks and state printouts
+    # surface it immediately instead of "physics" bugs).  Stagnation at
+    # roundoff (rnorm ~ bnorm on a nearly-converged Picard sweep) is NOT
+    # divergence.
+    diverged = rnorm > 1e4 * jnp.maximum(bnorm, 1e-300)
+    if getattr(params, "monitor_convergence", False):
+        jax.debug.print(
+            "KSP final rel. residual {r} (diverged={d})",
+            r=rnorm / jnp.maximum(bnorm, 1e-300), d=diverged,
+        )
+    x_flat = jnp.where(diverged, jnp.nan, x_flat)
+    return unravel(x_flat)
 
 
 def _newton_iterate(F, u0, aux, precond, params):

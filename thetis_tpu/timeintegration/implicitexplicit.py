@@ -12,8 +12,10 @@ import jax.numpy as jnp
 
 from ..solvers.newton import newton_solve, NewtonParameters
 from .steppers import TimeIntegrator, _tree_lc
+from .rungekutta import SCHEMES
 
-__all__ = ["IMEXGeneric", "IMEXLPUM2", "IMEXEuler", "get_imex_stepper"]
+__all__ = ["IMEXGeneric", "IMEXLPUM2", "IMEXLSPUM2", "IMEXMidpoint",
+           "IMEXEuler", "get_imex_stepper"]
 
 EXPLICIT_LABELS = frozenset(["explicit", "source"])
 IMPLICIT_LABELS = frozenset(["implicit", "nonlinear"])
@@ -82,22 +84,41 @@ class IMEXGeneric(TimeIntegrator):
 
 
 class IMEXLPUM2(IMEXGeneric):
-    """L-stable, 2nd order, 3-stage LPUM2 pair (ref ``rungekutta.py:
-    340-365, 388-405``); 'SSPIMEX' in the option vocabulary; CFL 2."""
+    """SSP-IMEX scheme (20) in Higueras et al. (2014): DIRKLPUM2 +
+    ERKLPUM2 (ref ``implicitexplicit.py:120-131``); 'SSPIMEX' in the
+    option vocabulary; CFL 2."""
 
-    dirk_a = [
-        [2.0 / 11.0, 0, 0],
-        [205.0 / 462.0, 2.0 / 11.0, 0],
-        [2033.0 / 4620.0, 21.0 / 110.0, 2.0 / 11.0],
-    ]
-    dirk_b = [24.0 / 55.0, 1.0 / 5.0, 4.0 / 11.0]
-    erk_a = [[0, 0, 0], [5.0 / 6.0, 0, 0], [11.0 / 24.0, 11.0 / 24.0, 0]]
-    erk_b = [24.0 / 55.0, 1.0 / 5.0, 4.0 / 11.0]
+    dirk_a = SCHEMES["DIRKLPUM2"].a
+    dirk_b = SCHEMES["DIRKLPUM2"].b
+    erk_a = SCHEMES["ERKLPUM2"].a
+    erk_b = SCHEMES["ERKLPUM2"].b
     cfl_coeff = 2.0
 
 
+class IMEXLSPUM2(IMEXGeneric):
+    """SSP-IMEX scheme (17) in Higueras et al. (2014): DIRKLSPUM2 +
+    ERKLSPUM2 (ref ``implicitexplicit.py:134-145``); CFL 2."""
+
+    dirk_a = SCHEMES["DIRKLSPUM2"].a
+    dirk_b = SCHEMES["DIRKLSPUM2"].b
+    erk_a = SCHEMES["ERKLSPUM2"].a
+    erk_b = SCHEMES["ERKLSPUM2"].b
+    cfl_coeff = 2.0
+
+
+class IMEXMidpoint(IMEXGeneric):
+    """Implicit-explicit midpoint (1,2,2) of Ascher et al. (1997):
+    ESDIRKMidpoint + ERKMidpoint (ref ``implicitexplicit.py:148-157``)."""
+
+    dirk_a = SCHEMES["ESDIRKMidpoint"].a
+    dirk_b = SCHEMES["ESDIRKMidpoint"].b
+    erk_a = SCHEMES["ERKMidpoint"].a
+    erk_b = SCHEMES["ERKMidpoint"].b
+    cfl_coeff = 1.0
+
+
 class IMEXEuler(IMEXGeneric):
-    """Forward-backward Euler pair (ref ``implicitexplicit.py:141-165``)."""
+    """Forward-backward Euler pair (ref ``implicitexplicit.py:160-165``)."""
 
     dirk_a = [[1.0]]
     dirk_b = [1.0]
@@ -108,5 +129,6 @@ class IMEXEuler(IMEXGeneric):
 
 def get_imex_stepper(name, equation, dt, options=None, **kw):
     table = {"SSPIMEX": IMEXLPUM2, "IMEXLPUM2": IMEXLPUM2,
+             "IMEXLSPUM2": IMEXLSPUM2, "IMEXMidpoint": IMEXMidpoint,
              "IMEXEuler": IMEXEuler}
     return table[name](equation, dt, options, **kw)

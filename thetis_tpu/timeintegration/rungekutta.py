@@ -116,23 +116,79 @@ class DIRK43Abstract(AbstractRKScheme):
     cfl_coeff = CFL_UNCONDITIONALLY_STABLE
 
 
-class SSPIMEXAbstract:
-    """IMEX LPUM2 pair (ref ``implicitexplicit.py``), registered for the
-    option vocabulary; driver lives in timeintegration.implicitexplicit."""
+class DIRK23Abstract(AbstractRKScheme):
+    r"""2-stage, 3rd order DIRK, gamma = (3+sqrt(3))/6; A-stable, not
+    L-stable.  DIRK(2,3,3) of Ascher et al. (1997)
+    (ref ``rungekutta.py:222-249``)."""
+    gamma = (3.0 + np.sqrt(3.0)) / 6.0
+    a = [[gamma, 0], [1 - 2 * gamma, gamma]]
+    b = [0.5, 0.5]
+    c = [gamma, 1 - gamma]
+    cfl_coeff = CFL_UNCONDITIONALLY_STABLE
 
-    # DIRK LPUM2 (implicit part, ref rungekutta.py:340-365)
-    dirk_a = [
+
+class DIRKLSPUM2Abstract(AbstractRKScheme):
+    r"""DIRKLSPUM2: 3-stage, 2nd order, L-stable SSP DIRK; implicit part
+    of IMEX scheme (17) in Higueras et al. (2014)
+    (ref ``rungekutta.py:292-310``)."""
+    a = [
         [2.0 / 11.0, 0, 0],
         [205.0 / 462.0, 2.0 / 11.0, 0],
         [2033.0 / 4620.0, 21.0 / 110.0, 2.0 / 11.0],
     ]
-    dirk_b = [24.0 / 55.0, 1.0 / 5.0, 4.0 / 11.0]
-    dirk_c = [2.0 / 11.0, 289.0 / 462.0, 751.0 / 924.0]
-    # ERK LPUM2 (explicit part, ref rungekutta.py:388-405)
-    erk_a = [[0, 0, 0], [5.0 / 6.0, 0, 0], [11.0 / 24.0, 11.0 / 24.0, 0]]
-    erk_b = [24.0 / 55.0, 1.0 / 5.0, 4.0 / 11.0]
-    erk_c = [0, 5.0 / 6.0, 11.0 / 12.0]
+    b = [24.0 / 55.0, 1.0 / 5.0, 4.0 / 11.0]
+    c = [2.0 / 11.0, 289.0 / 462.0, 751.0 / 924.0]
+    cfl_coeff = 4.34  # linear problems; nonlinear => 3.82
+
+
+class DIRKLPUM2Abstract(AbstractRKScheme):
+    r"""DIRKLPUM2: 3-stage, 2nd order, L-stable SSP DIRK; implicit part
+    of IMEX scheme (20) in Higueras et al. (2014)
+    (ref ``rungekutta.py:313-331``)."""
+    a = [
+        [2.0 / 11.0, 0, 0],
+        [41.0 / 154.0, 2.0 / 11.0, 0],
+        [289.0 / 847.0, 42.0 / 121.0, 2.0 / 11.0],
+    ]
+    b = [1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0]
+    c = [2.0 / 11.0, 69.0 / 154.0, 67.0 / 77.0]
+    cfl_coeff = 4.34  # linear problems; nonlinear => 3.09
+
+
+class ERKLSPUM2Abstract(AbstractRKScheme):
+    r"""ERKLSPUM2: explicit part of IMEX scheme (17) in Higueras et al.
+    (2014) (ref ``rungekutta.py:355-371``)."""
+    a = [[0, 0, 0], [5.0 / 6.0, 0, 0], [11.0 / 24.0, 11.0 / 24.0, 0]]
+    b = [24.0 / 55.0, 1.0 / 5.0, 4.0 / 11.0]
+    c = [0, 5.0 / 6.0, 11.0 / 12.0]
+    cfl_coeff = 1.2
+
+
+class ERKLPUM2Abstract(AbstractRKScheme):
+    r"""ERKLPUM2: explicit part of IMEX scheme (20) in Higueras et al.
+    (2014) (ref ``rungekutta.py:374-390``)."""
+    a = [[0, 0, 0], [0.5, 0, 0], [0.5, 0.5, 0]]
+    b = [1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0]
+    c = [0, 0.5, 1.0]
     cfl_coeff = 2.0
+
+
+class ESDIRKMidpointAbstract(AbstractRKScheme):
+    r"""Explicit-first-stage singly-diagonal implicit midpoint
+    (ref ``rungekutta.py:400-405``)."""
+    a = [[0.0, 0.0], [0.0, 0.5]]
+    b = [0.0, 1.0]
+    c = [0.0, 0.5]
+    cfl_coeff = 1.0
+
+
+class ESDIRKTrapezoidAbstract(AbstractRKScheme):
+    r"""Explicit-first-stage trapezoid rule (the 2D mode integrator of
+    ``CoupledTwoStageRK``; ref ``rungekutta.py:408-413``)."""
+    a = [[0.0, 0.0], [0.5, 0.5]]
+    b = [0.5, 0.5]
+    c = [0.0, 1.0]
+    cfl_coeff = CFL_UNCONDITIONALLY_STABLE
 
 
 SCHEMES = {
@@ -142,7 +198,14 @@ SCHEMES = {
     "CrankNicolsonRK": CrankNicolsonAbstract,
     "SSPRK33": SSPRK33Abstract,
     "ERKMidpoint": ERKMidpointAbstract,
+    "ERKLSPUM2": ERKLSPUM2Abstract,
+    "ERKLPUM2": ERKLPUM2Abstract,
     "DIRK22": DIRK22Abstract,
+    "DIRK23": DIRK23Abstract,
     "DIRK33": DIRK33Abstract,
     "DIRK43": DIRK43Abstract,
+    "DIRKLSPUM2": DIRKLSPUM2Abstract,
+    "DIRKLPUM2": DIRKLPUM2Abstract,
+    "ESDIRKMidpoint": ESDIRKMidpointAbstract,
+    "ESDIRKTrapezoid": ESDIRKTrapezoidAbstract,
 }

@@ -143,7 +143,10 @@ class DIRKGeneric(TimeIntegrator):
                  semi_implicit=False, solver_parameters=None):
         super().__init__(equation, dt, options)
         tb = SCHEMES[scheme]()
-        assert tb.is_dirk or not tb.is_implicit
+        # lower-triangular tableaux only: DIRK, ESDIRK (explicit first
+        # stage, solved without a Newton iteration) or fully explicit
+        assert not np.triu(tb.a, 1).any(), \
+            f"{scheme} is not diagonally implicit"
         self.a, self.b, self.c = tb.a, tb.b, tb.c
         self.n_stages = tb.n_stages
         self.cfl_coeff = tb.cfl_coeff
@@ -163,6 +166,12 @@ class DIRKGeneric(TimeIntegrator):
             ]
             base = _tree_lc(terms)
             aii = float(self.a[i][i])
+            if aii == 0.0:
+                # explicit (ESDIRK first) stage: k_i = M^-1 R(base)
+                r = eq.residual("all", base, base, fields, fields,
+                                bnd_values)
+                ks.append(eq.mass_inverse(r))
+                continue
 
             def F(k, base=base, aii=aii):
                 u = _tree_lc([(1.0, base), (dt * aii, k)])
@@ -264,52 +273,146 @@ class ERKGeneric(TimeIntegrator):
 
 
 class PressureProjectionPicard(TimeIntegrator):
-    """Picard-iterated theta scheme (ref ``timeintegrator.py:305-464``).
+    """Predictor/corrector pressure-projection scheme with Picard
+    iterations (ref ``timeintegrator.py:305-464``).
 
-    The reference splits into a momentum predictor and a wave-equation
-    corrector with an assembled Schur preconditioner (dg-cg only); here
-    the same Picard linearisation is applied to the monolithic system:
-    each of ``picard_iterations`` sweeps solves the linearised theta
-    system about the previous iterate (two iterations restore 2nd-order
-    accuracy, ref L456-462)."""
+    Each Picard sweep solves
+
+    1. a **momentum predictor** for u* — all momentum terms, with the
+       elevation lagged at the previous iterate (velocity-block mass
+       system, cheap), then
+    2. the **wave-equation corrector** for (u^{n+1}, eta^{n+1}) — only
+       the external pressure gradient and HUDiv are implicit; the
+       predictor's pressure-gradient contribution at the lagged elevation
+       is subtracted so it is replaced by the new implicit one
+       (ref L396-420).  The corrector's Krylov solve is preconditioned by
+       the matrix-free wave-equation Schur complement
+       (:class:`~thetis_tpu.solvers.schur.WaveEquationSchurPC`, the
+       AssembledSchurPC analogue) — bounded iterations at large wave CFL.
+
+    Two Picard iterations restore 2nd-order accuracy (ref L456-462)."""
 
     cfl_coeff = np.inf
 
+    _WAVE = frozenset(["ExternalPressureGradientTerm", "HUDivTerm",
+                       "ContinuitySourceTerm"])
+    _EPG = frozenset(["ExternalPressureGradientTerm"])
+
     def __init__(self, equation, dt, options=None, theta=0.5,
-                 picard_iterations=2, solver_parameters=None):
+                 picard_iterations=2, solver_parameters=None,
+                 solver_parameters_mom=None, use_schur_pc=True,
+                 schur_inner_iterations=15, semi_implicit=True):
         super().__init__(equation, dt, options)
         self.theta = float(theta)
         self.iterations = int(picard_iterations)
-        # one linear solve per Picard sweep: needs a stronger Krylov run
-        # than the Newton steppers (which refine over outer iterations)
-        self.params = solver_parameters or NewtonParameters(
-            ksp_rtol=1e-10, ksp_max_it=240, gmres_restart=60
+        self.semi_implicit = bool(semi_implicit)
+        self.use_schur_pc = bool(use_schur_pc)
+        self.schur_inner_iterations = int(schur_inner_iterations)
+        # momentum terms: everything except the continuity row
+        self._mom_terms = frozenset(
+            n for (n, _, _) in equation.terms
+            if n not in ("HUDivTerm", "ContinuitySourceTerm")
         )
-        self.params.snes_max_it = 1
-        self.params.snes_rtol = 1e-16
+        if self.use_schur_pc and not hasattr(equation, "eta_space"):
+            # the wave-Schur preconditioner assumes a CG elevation space
+            # (pure-DG-mass velocity block); the reference raises here
+            # (ref ``timeintegrator.py:358-370``) — we fall back to the
+            # mass-preconditioned monolithic solve with a larger Krylov
+            # budget instead
+            from ..utils.log import print_output
+            print_output(
+                "PressureProjectionPicard: elevation space is not CG; "
+                "disabling the wave-Schur preconditioner (use the dg-cg "
+                "element family for the fast path)"
+            )
+            self.use_schur_pc = False
+            if solver_parameters is None:
+                solver_parameters = NewtonParameters(
+                    ksp_rtol=1e-10, ksp_max_it=240, gmres_restart=60
+                )
+        self.params = solver_parameters or NewtonParameters(
+            ksp_rtol=1e-10, ksp_max_it=120, gmres_restart=30
+        )
+        self.params_mom = solver_parameters_mom or NewtonParameters(
+            ksp_rtol=1e-10, ksp_max_it=48, gmres_restart=16
+        )
+        if self.semi_implicit:
+            for p in (self.params, self.params_mom):
+                p.snes_max_it = 1
+                p.snes_rtol = 1e-16
 
     def advance(self, t, solution, fields, fields_old, bnd_values):
+        from ..solvers.schur import WaveEquationSchurPC
+
         eq = self.equation
         dt, th = self.dt, self.theta
         u_old = solution
         m_old = eq.mass_term(u_old)
-        r_expl = eq.residual("all", u_old, u_old, fields_old, fields_old,
-                             bnd_values)
-        const = _tree_lc([(-1.0, m_old), (-(1 - th) * dt, r_expl)])
-        u = u_old
+        # old-time momentum residual (all terms) and wave residual
+        r_mom_old = eq.residual(self._mom_terms, u_old, u_old, fields_old,
+                                fields_old, bnd_values)["uv"]
+        r_wave_old = eq.residual(self._WAVE, u_old, u_old, fields_old,
+                                 fields_old, bnd_values)
+        sol = u_old
         for _ in range(self.iterations):
-            u_lag = u
+            lag = sol
 
-            def F(w, u_lag=u_lag):
-                r_impl = eq.residual("all", w, u_lag, fields, fields,
-                                     bnd_values)
-                return _tree_lc(
-                    [(1.0, eq.mass_term(w)), (-th * dt, r_impl), (1.0, const)]
+            # --- 1. momentum predictor: M_u u* = M_u u_old
+            #        + dt [th R_mom(u*, eta_lag) + (1-th) R_mom(old)]
+            def F_mom(us, lag=lag):
+                st = {"uv": us, "elev": lag["elev"]}
+                st_nl = lag if self.semi_implicit else st
+                r = eq.residual(self._mom_terms, st, st_nl, fields, fields,
+                                bnd_values)["uv"]
+                mus = eq.mass_term({"uv": us, "elev": lag["elev"]})["uv"]
+                return _tree_lc([
+                    (1.0, mus), (-1.0, m_old["uv"]),
+                    (-th * dt, r), (-(1 - th) * dt, r_mom_old),
+                ])
+
+            u_star = newton_solve(
+                F_mom, lag["uv"],
+                precond=lambda r: eq.mass_inverse(
+                    {"uv": r, "elev": jnp.zeros_like(lag["elev"])})["uv"],
+                params=self.params_mom,
+            )
+
+            # --- 2. wave corrector.  In the uv row the (1-th)-weighted
+            # old pressure gradients cancel exactly (ref L396-420), so:
+            #   M_u u - M_u u* - th dt (epg(eta) - epg(eta_lag; u*)) = 0
+            #   M_e eta - M_e eta_old
+            #       - dt (th hudiv(sol) + (1-th) hudiv(old)) = 0
+            star_state = {"uv": u_star, "elev": lag["elev"]}
+            star_nl = lag if self.semi_implicit else star_state
+            epg_star = eq.residual(self._EPG, star_state, star_nl, fields,
+                                   fields, bnd_values)["uv"]
+            m_star = eq.mass_term(star_state)["uv"]
+            const_uv = _tree_lc([(-1.0, m_star), (th * dt, epg_star)])
+            const_e = _tree_lc([
+                (-1.0, m_old["elev"]),
+                (-(1 - th) * dt, r_wave_old["elev"]),
+            ])
+
+            def F(w, lag=lag, const_uv=const_uv, const_e=const_e):
+                w_nl = lag if self.semi_implicit else w
+                r = eq.residual(self._WAVE, w, w_nl, fields, fields,
+                                bnd_values)
+                m = eq.mass_term(w)
+                return {
+                    "uv": m["uv"] - th * dt * r["uv"] + const_uv,
+                    "elev": m["elev"] - th * dt * r["elev"] + const_e,
+                }
+
+            if self.use_schur_pc:
+                pc = WaveEquationSchurPC(
+                    eq, dt, th, lag, fields, bnd_values,
+                    inner_iterations=self.schur_inner_iterations,
                 )
-
-            u = newton_solve(F, u, precond=eq.mass_inverse,
-                             params=self.params)
-        return u
+            else:
+                pc = eq.mass_inverse
+            sol = newton_solve(F, {"uv": u_star, "elev": lag["elev"]},
+                               precond=pc, params=self.params)
+        return sol
 
 
 class SteadyState(TimeIntegrator):
@@ -356,11 +459,15 @@ def get_stepper(name, equation, dt, options=None, **kw):
     if name in ("DIRK22", "DIRK33"):
         # u-form: exact with nonlinear (wetting-drying) mass terms
         return DIRKUForm(equation, dt, scheme=name, options=options, **kw)
-    if name == "DIRK43":
+    if name in ("DIRK23", "DIRK43", "DIRKLSPUM2", "DIRKLPUM2",
+                "ESDIRKMidpoint", "ESDIRKTrapezoid", "ImplicitMidpoint"):
         return DIRKGeneric(equation, dt, scheme=name, options=options, **kw)
+    if name in ("ERKMidpoint", "ERKLSPUM2", "ERKLPUM2"):
+        return ERKGeneric(equation, dt, scheme=name, options=options)
     if name == "SteadyState":
         return SteadyState(equation, dt, options, **kw)
-    if name in ("SSPIMEX", "IMEXLPUM2", "IMEXEuler"):
+    if name in ("SSPIMEX", "IMEXLPUM2", "IMEXLSPUM2", "IMEXEuler",
+                "IMEXMidpoint"):
         from .implicitexplicit import get_imex_stepper
 
         return get_imex_stepper(name, equation, dt, options, **kw)

@@ -203,11 +203,18 @@ class LinearTimeInterpolator:
         f1, i1, t1 = self.timesearch.find(t, previous=False)
         v0 = self._get(f0, i0)
         v1 = self._get(f1, i1)
+
+        def combine(a, b, alpha):
+            if isinstance(a, dict):
+                return {k: combine(a[k], b[k], alpha) for k in a}
+            if isinstance(a, (list, tuple)):
+                return type(a)(combine(x, y, alpha) for x, y in zip(a, b))
+            return (1 - alpha) * np.asarray(a) + alpha * np.asarray(b)
+
         if t1 <= t0:
-            return np.asarray(v0)
-        alpha = (t - t0) / (t1 - t0)
-        alpha = min(max(alpha, 0.0), 1.0)
-        return (1 - alpha) * np.asarray(v0) + alpha * np.asarray(v1)
+            return combine(v0, v0, 0.0)
+        alpha = min(max((t - t0) / (t1 - t0), 0.0), 1.0)
+        return combine(v0, v1, alpha)
 
 
 class TimeSeriesInterpolator:
