@@ -143,3 +143,26 @@ def test_form2indicator_and_dwr():
     xc = np.asarray(mesh.cell_midpoints())[:, 0]
     near = np.abs(xc - 1.0) < 0.4
     assert e[near].mean() > 2.0 * e[~near].mean()
+
+
+def test_timed_stage_profiling():
+    """timed_stage accumulates wall clock + emits profiler annotations
+    (the reference's timed_stage/-log_view analogue, SURVEY.md section
+    5.1)."""
+    from thetis_tpu.utils.profiling import (
+        timed_stage, get_timers, reset_timers, print_timers,
+    )
+
+    reset_timers()
+    with timed_stage("stage_a"):
+        sum(range(1000))
+    with timed_stage("stage_a"):
+        pass
+    with timed_stage("stage_b"):
+        pass
+    t = get_timers()
+    assert t["stage_a"][1] == 2 and t["stage_b"][1] == 1
+    assert t["stage_a"][0] >= 0.0
+    print_timers()
+    reset_timers()
+    assert get_timers() == {}

@@ -290,3 +290,24 @@ def test_density_weak_and_velocity_magnitude():
     uv3 = uv.at[...].set(jnp.asarray([3.0, 4.0]))
     mag2 = vms.solve(geom, uv=uv3)
     assert float(jnp.abs(mag2 - 5.0).max()) < 1e-8
+
+
+def test_3d_time_step_control():
+    """CFL time-step bounds + automatic dt fitted to the export interval
+    (ref ``solver.py:164-405``)."""
+    so = make_solver3d(nx=12, nz=6)
+    o = so.options
+    o.use_automatic_timestep = True
+    o.horizontal_velocity_scale = 1.0
+    o.vertical_velocity_scale = 1e-3
+    o.horizontal_viscosity_scale = 1.0
+    so.create_fields()
+    so.initialize()
+    # bounds are positive and ordering sensible
+    assert so.compute_dt_2d(1.0) < so.compute_dt_h_advection(1.0)
+    assert so.compute_dt_v_advection(1e-3) > 0
+    assert so.compute_dt_diffusion(1.0) > 0
+    # dt divides the export interval exactly
+    n = o.simulation_export_time / so.dt
+    assert abs(n - round(n)) < 1e-9
+    assert so.dt > 0

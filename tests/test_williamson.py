@@ -1,0 +1,107 @@
+"""Williamson et al. (1992) test case 2 on the sphere: steady nonlinear
+zonal geostrophic flow (the reference's ``test/sphere/test_williamson.py``,
+which requires the rt-dg family on manifold meshes).
+
+The icosahedral SphereMesh + RT1 x P0 pair must hold the steady state:
+after one day the elevation error relative to the analytic balance stays
+small and decreases under refinement; total volume is conserved exactly.
+"""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from types import SimpleNamespace
+
+from thetis_tpu.mesh.sphere import IcosahedralSphereMesh
+from thetis_tpu.fem.rt import RTSpace
+from thetis_tpu.equations.shallowwater_rtdg import ShallowWaterEquationsRTDG
+from thetis_tpu.timeintegration.steppers import CrankNicolson
+from thetis_tpu.solvers.newton import NewtonParameters
+
+R_EARTH = 6371220.0
+OMEGA = 7.292e-5
+G = 9.81
+
+
+class _QuadShim:
+    """Minimal quadrature provider for RTSpace on manifold meshes (the
+    planar DGAssembler computes 2D geometry it cannot have here)."""
+
+    def __init__(self):
+        from thetis_tpu.fem.reference_element import ELEMENTS
+
+        self.space = SimpleNamespace(
+            _tab_np=ELEMENTS[("DG", 1)].tabulate(3)
+        )
+
+
+def setup(refinement):
+    mesh = IcosahedralSphereMesh(R_EARTH, refinement)
+    rt = RTSpace(mesh, _QuadShim())
+    opts = SimpleNamespace(use_nonlinear_equations=True,
+                           use_wetting_and_drying=False)
+    u0 = 2 * np.pi * R_EARTH / (12.0 * 86400.0)
+    gh0 = 2.94e4
+    h0 = gh0 / G
+
+    eq = ShallowWaterEquationsRTDG(mesh, rt.asm, rt, opts, h0,
+                                   bnd_conditions={})
+    # analytic steady state
+    xyz = mesh.coords_np
+    cent = mesh.cell_midpoints()
+    sin_lat_c = cent[:, 2] / np.linalg.norm(cent, axis=1)
+    amp = (R_EARTH * OMEGA * u0 + 0.5 * u0**2) / G
+    eta0 = (-amp * sin_lat_c**2)[:, None]
+    # zonal velocity u = u0/R * (-y, x, 0) at the vertices (CG1)
+    uvec = (u0 / R_EARTH) * np.stack(
+        [-xyz[:, 1], xyz[:, 0], np.zeros(mesh.nv)], axis=-1
+    )
+    U0 = rt.project_vector(jnp.asarray(uvec))
+    cor = 2.0 * OMEGA * xyz[:, 2] / R_EARTH  # CG1 f = 2 Omega sin(lat)
+    fields = {"coriolis": jnp.asarray(cor)}
+    return mesh, rt, eq, jnp.asarray(eta0), U0, fields, amp
+
+
+def run_day(refinement, dt=900.0, hours=24.0):
+    import jax
+    from functools import partial
+
+    mesh, rt, eq, eta0, U0, fields, amp = setup(refinement)
+    stepper = CrankNicolson(
+        eq, dt, semi_implicit=True,
+        solver_parameters=NewtonParameters(ksp_rtol=1e-9, ksp_max_it=96,
+                                           gmres_restart=24),
+    )
+
+    @partial(jax.jit, static_argnames=("n",))
+    def advance_n(s, n):
+        return jax.lax.scan(
+            lambda c, _: (stepper.advance(0.0, c, fields, fields, {}), None),
+            s, None, length=n)[0]
+
+    state = {"uv": U0, "elev": eta0}
+    n = int(round(hours * 3600.0 / dt))
+    area = np.asarray(mesh.cell_area_np)
+    vol0 = float((area * np.asarray(state["elev"][:, 0])).sum())
+    state = advance_n(state, n)
+    vol1 = float((area * np.asarray(state["elev"][:, 0])).sum())
+    err = np.asarray(state["elev"][:, 0] - eta0[:, 0])
+    l2 = math.sqrt(float((area * err**2).sum()) / area.sum())
+    rel = l2 / amp
+    du = np.asarray(state["uv"] - U0)
+    u_rel = float(np.abs(du).max()) / float(np.abs(np.asarray(U0)).max())
+    return rel, u_rel, abs(vol1 - vol0) / (area.sum())
+
+
+def test_williamson2_steady_state():
+    # measured ladder (1 day, CN dt=900): refinement 3/4/5 ->
+    # 0.095 / 0.052 / 0.027 relative elevation error (order ~0.9 for the
+    # lowest-order pair on the faceted sphere); volume exact
+    rel3, urel3, dvol3 = run_day(3)
+    print(f"W2 ref3: elev rel err {rel3:.4f}, u rel {urel3:.4f}")
+    assert dvol3 < 1e-10, "volume not conserved"
+    assert rel3 < 0.12, f"steady state lost at refinement 3: {rel3}"
+    rel4, urel4, _ = run_day(4)
+    print(f"W2 ref4: elev rel err {rel4:.4f}, u rel {urel4:.4f}")
+    assert rel4 < 0.65 * rel3, (rel3, rel4)

@@ -122,12 +122,14 @@ class ShallowWaterEquationsDGCG(ShallowWaterEquations):
         def body(carry, _):
             x, p, res, rz = carry
             Ap = self.eta_mass_apply(p)
-            alpha = rz / jnp.maximum((p * Ap).sum(), 1e-300)
+            alpha = rz / jnp.maximum((p * Ap).sum(),
+                                     jnp.finfo(rz.dtype).tiny)
             x = x + alpha * p
             res = res - alpha * Ap
             z = res / Ml
             rz_new = (res * z).sum()
-            p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
+            p = z + (rz_new / jnp.maximum(rz,
+                                          jnp.finfo(rz.dtype).tiny)) * p
             return (x, p, res, rz_new), None
 
         x0 = r / Ml

@@ -210,7 +210,13 @@ class ShallowWaterEquationsRTDG(EquationBase):
             return
         f_q = jnp.asarray(self._cell_mean(f))[:, None]
         u = c["uv_q"]
-        Fq = jnp.stack([f_q * u[..., 1], -f_q * u[..., 0]], axis=-1)
+        if hasattr(self.mesh, "cell_normal"):
+            # manifold mesh: -f (n_cell x u), the reference's CellNormal
+            # Coriolis (ref shallowwater_eq.py:627-630)
+            n = self.mesh.cell_normal[:, None, :]       # (nc, 1, 3)
+            Fq = -f_q[..., None] * jnp.cross(n, u)
+        else:
+            Fq = jnp.stack([f_q * u[..., 1], -f_q * u[..., 0]], axis=-1)
         B["uv"] = B.get("uv", 0.0) + self.rt.cell_to_dofs(Fq)
 
     def _t_qdrag(self, c, B):

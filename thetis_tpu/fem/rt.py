@@ -56,11 +56,16 @@ class RTSpace:
         sigma = np.where(cs == 0, 1.0, -1.0)      # (nc, 3)
         elen = flen[cf]                            # (nc, 3)
 
-        # reference-space vertices of the P1 triangle
+        # reference-space vertices of the P1 triangle.  gdim = 2 for
+        # planar meshes, 3 for embedded manifolds (SphereMesh) — the RT
+        # basis lives in each (flat) cell's own plane, so all formulas
+        # below carry a generic trailing coordinate dimension.
+        gdim = coords.shape[1]
+        self.gdim = gdim
         ref_v = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
         qp = np.asarray(asm.space._tab_np["qp"])   # (nq, 2)
         qt = np.asarray(asm.space._tab_np["qt"])   # (nqf,) facet params
-        J = np.zeros((nc, 2, 2))
+        J = np.zeros((nc, gdim, 2))
         p0 = coords[cells[:, 0]]
         d1 = coords[cells[:, 1]] - p0
         d2 = coords[cells[:, 2]] - p0
@@ -94,7 +99,7 @@ class RTSpace:
             b = ref_v[(loc + 2) % 3]
             ref_fpts[2 * loc] = a[None, :] + qt[:, None] * (b - a)[None, :]
             ref_fpts[2 * loc + 1] = b[None, :] + qt[:, None] * (a - b)[None, :]
-        tr = np.zeros((mesh.nf, 2, nqf, 3, 2))
+        tr = np.zeros((mesh.nf, 2, nqf, 3, gdim))
         for side in range(2):
             c = fcells[:, side]
             pts = ref_fpts[variant[:, side]]       # (nf, nqf, 2)
@@ -117,7 +122,7 @@ class RTSpace:
         diag = np.zeros(mesh.nf)
         np.add.at(diag, cf.ravel(),
                   np.einsum("cvv->cv", Mloc).ravel())
-        self._diag_np = np.maximum(diag, 1e-300)
+        self._diag_np = np.maximum(diag, np.finfo(diag.dtype).tiny)
 
         # device tables
         self.psi_q = jnp.asarray(self.psi_q_np)
@@ -145,14 +150,15 @@ class RTSpace:
         dofs: U_f = u(midpoint_f) . n_f (exact for RT1 fields)."""
         mesh = self.mesh
         nrm = mesh.facet_normal
+        gdim = self.gdim
         value = jnp.asarray(value)
-        if value.ndim <= 1:  # constant vector
-            return (jnp.broadcast_to(value, (mesh.nf, 2)) * nrm).sum(-1)
-        if value.shape[:1] == (mesh.nv,):  # CG1 vector field
+        if value.ndim <= 1 and value.shape != (mesh.nf,):  # constant vector
+            return (jnp.broadcast_to(value, (mesh.nf, gdim)) * nrm).sum(-1)
+        if value.shape[:1] == (mesh.nv,) and value.ndim == 2:  # CG1 vector
             fv = mesh.facet_verts
             vmid = 0.5 * (value[fv[:, 0]] + value[fv[:, 1]])
             return (vmid * nrm).sum(-1)
-        if value.shape == (mesh.nf, 2):
+        if value.shape == (mesh.nf, gdim):
             return (value * nrm).sum(-1)
         if value.shape == (mesh.nf,):
             return value
@@ -235,12 +241,14 @@ class RTSpace:
             def body(carry, _):
                 x, p, res, rz = carry
                 Ap = self.mass_apply(p)
-                alpha = rz / jnp.maximum((p * Ap).sum(), 1e-300)
+                alpha = rz / jnp.maximum((p * Ap).sum(),
+                                         jnp.finfo(rz.dtype).tiny)
                 x = x + alpha * p
                 res = res - alpha * Ap
                 z = res / D
                 rz_new = (res * z).sum()
-                p = z + (rz_new / jnp.maximum(rz, 1e-300)) * p
+                p = z + (rz_new / jnp.maximum(rz,
+                                              jnp.finfo(rz.dtype).tiny)) * p
                 return (x, p, res, rz_new), None
 
             (x, _, _, _), _ = lax.scan(body, (x, z, res, rz), None,

@@ -861,6 +861,15 @@ class FlowSolver2d:
         c_q = self.asm.cell_values(self.fields[label].data)
         return float(self.asm.integrate_cellq(H_q * c_q))
 
+    def print_state_debug(self):
+        """Min/max dump of every registered field (ref
+        ``solver.py:1193-1214`` ``print_state_debug``)."""
+        for key in sorted(self.fields.keys()):
+            d = np.asarray(self.fields[key].data)
+            print_output(
+                f"{key:16s} {d.min():14.6e} .. {d.max():14.6e}"
+            )
+
     def print_state(self, cputime, print_header=False):
         """ref ``solver2d.py:923-971``."""
         eta = self.fields.elev_2d.data
@@ -970,15 +979,18 @@ class FlowSolver2d:
             bnd_sw = self._gather_bnd("shallow_water")
             bnd_tr = self._gather_bnd("tracer")
 
+            from ..utils.profiling import timed_stage
+
             if use_scan:
                 t_target = min(self.next_export_t, o.simulation_end_time)
                 n = max(
                     1, int(round((t_target - self.simulation_time) / self.dt))
                 )
-                state = self._advance_n_jit(
-                    state, self.simulation_time, self.dt, n, swe_fields,
-                    tracer_extra, bnd_sw, bnd_tr,
-                )
+                with timed_stage("coupled_advance"):
+                    state = self._advance_n_jit(
+                        state, self.simulation_time, self.dt, n, swe_fields,
+                        tracer_extra, bnd_sw, bnd_tr,
+                    )
                 self.iteration += n
                 self.simulation_time += n * self.dt
             else:
@@ -987,10 +999,11 @@ class FlowSolver2d:
                     swe_fields = self._gather_swe_fields()
                     bnd_sw = self._gather_bnd("shallow_water")
                     bnd_tr = self._gather_bnd("tracer")
-                state = self._advance_jit(
-                    self.simulation_time, state, swe_fields, tracer_extra,
-                    bnd_sw, bnd_tr,
-                )
+                with timed_stage("coupled_advance"):
+                    state = self._advance_jit(
+                        self.simulation_time, state, swe_fields, tracer_extra,
+                        bnd_sw, bnd_tr,
+                    )
                 self.iteration += 1
                 self.simulation_time += self.dt
                 self._set_state(state)

@@ -91,6 +91,8 @@ class ModelOptions3d(ModelOptions2d):
             # reference behavior); False falls back to the round-1 scheme
             # (full 2D SWE + depth-averaged int-PG source)
             use_modesplit_2d=True,
+            vertical_velocity_scale=1e-4,
+            use_automatic_timestep=False,
         ).items():
             object.__setattr__(self, k, v)
         self._freeze()
@@ -298,11 +300,97 @@ class FlowSolver:
             e.set_next_export_ix(self.i_export)
         self._initial_export_done = True
 
+    # -- CFL time-step bounds (ref ``solver.py:164-405``) ----------------
+    #: stability coefficients of the coupled integrators
+    #: (ref ``coupled_timeintegrator.py`` cfl_coeff attributes)
+    _CFL_COEFFS = {"CrankNicolson": (np.inf, 1.0),
+                   "SSPRK22": (np.inf, 1.0),
+                   "LeapFrogAM3": (np.inf, 1.5874)}
+
+    def compute_dx_factor(self):
+        """Normalised horizontal node spacing for DG(p) triangles
+        (ref ``solver.py:164-178``)."""
+        p = 1  # P1DG
+        l_r = p**2 / 3.0 + 7.0 / 6.0 * p + 1.0
+        return 0.5 * 0.25 / l_r
+
+    def compute_dz_factor(self):
+        """ref ``solver.py:180-191``."""
+        return 0.5 * 0.25 * 1.0  # p = 1 interval basis
+
+    def _min_dx(self):
+        return float(np.asarray(self.mesh2d.cell_hmin_np).min())
+
+    def _min_dz(self):
+        b = np.asarray(self.bathy_cell)
+        return float(b.max() / self.n_layers) if b.size else 1.0
+
+    def compute_dt_2d(self, u_scale):
+        """dt = dx / (sqrt(g h) + U) (ref ``solver.py:193-230``)."""
+        g = float(physical_constants["g_grav"])
+        h = max(float(np.asarray(self.bathy_cell).max()), 0.05)
+        u = np.sqrt(g * h) + float(u_scale)
+        return self._min_dx() * self.compute_dx_factor() / u
+
+    def compute_dt_h_advection(self, u_scale):
+        """ref ``solver.py:232-252``."""
+        return self._min_dx() * self.compute_dx_factor() / float(u_scale)
+
+    def compute_dt_v_advection(self, w_scale):
+        """ref ``solver.py:254-274``."""
+        w = max(float(w_scale), 1e-12)
+        return self._min_dz() * self.compute_dz_factor() / w
+
+    def compute_dt_diffusion(self, nu_scale):
+        """dt = (2 a dx)^2 / nu (ref ``solver.py:276-296``)."""
+        nu = max(float(nu_scale), 1e-12)
+        min_dx = self._min_dx() * 2.0 * self.compute_dx_factor()
+        return min_dx**2 / nu
+
+    def set_time_step(self):
+        """Choose/report dt from the CFL bounds; with
+        ``use_automatic_timestep`` the 3D advective/diffusive bound wins
+        and dt is fitted to the export interval (ref
+        ``solver.py:332-405``; the reference hardcodes ``dt_mode='3d'``,
+        L846, so there is no split-explicit M subcycling)."""
+        o = self.options
+        _, cfl3d = self._CFL_COEFFS.get(
+            str(getattr(o, "timestepper_type", "CrankNicolson")),
+            (np.inf, 1.0),
+        )
+        max_dt_swe = self.compute_dt_2d(o.horizontal_velocity_scale)
+        max_dt_hadv = self.compute_dt_h_advection(o.horizontal_velocity_scale)
+        max_dt_vadv = self.compute_dt_v_advection(o.vertical_velocity_scale)
+        max_dt_diff = self.compute_dt_diffusion(o.horizontal_viscosity_scale)
+        print_output(f"  - dt 2d swe: {max_dt_swe}")
+        print_output(f"  - dt h. advection: {max_dt_hadv}")
+        print_output(f"  - dt v. advection: {max_dt_vadv}")
+        print_output(f"  - dt viscosity: {max_dt_diff}")
+        max_dt_3d = cfl3d * min(max_dt_hadv, max_dt_vadv, max_dt_diff)
+        if o.use_automatic_timestep:
+            self.dt = float(max_dt_3d)
+        else:
+            assert o.timestep is not None and o.timestep > 0
+            self.dt = float(o.timestep)
+        # fit dt to the export interval
+        m_exp = max(1, int(np.ceil(o.simulation_export_time / self.dt)))
+        self.dt = float(o.simulation_export_time) / m_exp
+        print_output(f"dt = {self.dt}")
+        return self.dt
+
     def initialize(self):
         self.create_equations()
         o = self.options
-        self.dt = float(o.timestep)
-        swe_params = NewtonParameters()
+        if o.use_automatic_timestep:
+            self.set_time_step()
+        else:
+            self.dt = float(o.timestep)
+        # barotropic Krylov: larger restart converges in fewer total
+        # iterations; 1e-6 relative residual is ample for the O(dt)
+        # splitting error of the mode coupling (PETSc-default class
+        # tolerances in the reference)
+        swe_params = NewtonParameters(ksp_rtol=1e-6, ksp_max_it=48,
+                                      gmres_restart=24)
         self.swe_stepper = CrankNicolson(
             self.eq_sw, self.dt, semi_implicit=True,
             solver_parameters=swe_params,
@@ -405,6 +493,14 @@ class FlowSolver:
         two_stage = ts_type in ("SSPRK22", "TwoStageRK")
         leapfrog = ts_type == "LeapFrogAM3"
 
+        # the uniform-field consistency drift only needs the advective
+        # terms: diffusion/viscosity of a constant is identically zero
+        # (SIPG jumps and gradients vanish), so the ones-residual runs on
+        # the advection subset — exact, at ~half the residual cost
+        _ADV_TERMS = frozenset(
+            ["HorizontalAdvectionTerm", "VerticalAdvectionTerm"]
+        )
+
         def ale_combine(eq, key, u0, u_eval, fields, geom0, geom_eval,
                         geom_new, a, b, consistency_fix=False):
             """Generalized ALE stage (ref SSPRK22ALE,
@@ -422,8 +518,8 @@ class FlowSolver:
             uniform on the moving mesh
             (``test/tracerEq/test_consistency.py`` analogue)."""
 
-            def raw(u0v, uev):
-                r = eq.residual("all", {key: uev}, {key: uev}, fields,
+            def raw(u0v, uev, label="all"):
+                r = eq.residual(label, {key: uev}, {key: uev}, fields,
                                 fields, {}, geom=geom_eval)
                 acc = b * (eq.mass_term({key: uev}, geom_eval)[key]
                            + dt * r[key])
@@ -434,7 +530,7 @@ class FlowSolver:
             out = raw(u0, u_eval)
             if consistency_fix:
                 ones = jnp.ones_like(u0)
-                drift = raw(ones, ones) - 1.0
+                drift = raw(ones, ones, label=_ADV_TERMS) - 1.0
                 out = out - u0 * drift
             return out
 
@@ -455,8 +551,8 @@ class FlowSolver:
             b = 0.5 + 2 * lf_gamma
             cc = 1.0 - 2 * lf_gamma
 
-            def predict(u0v, upv):
-                r = eq.residual("all", {key: u0v}, {key: u0v}, fields,
+            def predict(u0v, upv, label="all"):
+                r = eq.residual(label, {key: u0v}, {key: u0v}, fields,
                                 fields, {}, geom=geom_old)
                 k = eq.mass_inverse({key: r[key]}, geom_old)[key]
                 return a * upv + b * u0v + dt * cc * k
@@ -464,10 +560,11 @@ class FlowSolver:
             u_half = predict(u0, u_prev)
             if consistency_fix:
                 ones = jnp.ones_like(u0)
-                u_half = u_half - u0 * (predict(ones, ones) - 1.0)
+                u_half = u_half - u0 * (
+                    predict(ones, ones, label=_ADV_TERMS) - 1.0)
 
-            def correct(u0v, uhv):
-                r = eq.residual("all", {key: uhv}, {key: uhv}, fields,
+            def correct(u0v, uhv, label="all"):
+                r = eq.residual(label, {key: uhv}, {key: uhv}, fields,
                                 fields, {}, geom=geom_old)
                 m0 = eq.mass_term({key: u0v}, geom_old)[key]
                 return eq.mass_inverse({key: m0 + dt * r[key]},
@@ -476,7 +573,8 @@ class FlowSolver:
             u1 = correct(u0, u_half)
             if consistency_fix:
                 ones = jnp.ones_like(u0)
-                u1 = u1 - u0 * (correct(ones, ones) - 1.0)
+                u1 = u1 - u0 * (
+                    correct(ones, ones, label=_ADV_TERMS) - 1.0)
             return u1
 
         def ale_advance(eq, key, u0, fields, geom_old, geom_new,
@@ -704,11 +802,12 @@ class FlowSolver:
                 new_state["split_residual"] = (uv_dav - sw["uv"]) / dt
             new_state["uv"] = sw["uv"]
             new_state["elev"] = sw["elev"]
-
-            # --- 7. diagnostic vertical velocity from the total transport
-            new_state["w_3d"] = w_solver.solve(
-                uv_dev + expand_function_to_3d(sw["uv"], ext.nz), geom
-            )
+            # the final diagnostic vertical velocity (ref step 7,
+            # ``_update_vertical_velocity``) is NOT carried in the step
+            # state: the advective w is recomputed each step from the
+            # continuity-consistent velocity anyway, so the export-quality
+            # w is evaluated only at export time (``_set_state``) — one
+            # column solve per export instead of one per step
             return new_state
 
         def step(state, swe_fields, bnd_sw):
@@ -744,7 +843,7 @@ class FlowSolver:
         f = self.fields
         s = {
             "uv": f.uv_2d.data, "elev": f.elev_2d.data,
-            "uv_3d": f.uv_3d.data, "w_3d": f.w_3d.data,
+            "uv_3d": f.uv_3d.data,
             "salt_3d": f.salt_3d.data, "temp_3d": f.temp_3d.data,
             "tke_3d": f.tke_3d.data, "psi_3d": f.psi_3d.data,
         }
@@ -772,7 +871,16 @@ class FlowSolver:
         f.uv_2d.data = s["uv"]
         f.elev_2d.data = s["elev"]
         f.uv_3d.data = s["uv_3d"]
-        f.w_3d.data = s["w_3d"]
+        # diagnostic vertical velocity from the total transport (export
+        # quality; deterministic in the prognostic state, so restarts
+        # stay bit-exact)
+        geom = self.asm3d.layer_geometry(
+            self.extruded.z_interfaces(self.bathy_cell, s["elev"])
+        )
+        f.w_3d.data = self.w_solver.solve(
+            s["uv_3d"] + expand_function_to_3d(s["uv"], self.extruded.nz),
+            geom,
+        )
         f.salt_3d.data = s["salt_3d"]
         f.temp_3d.data = s["temp_3d"]
         f.tke_3d.data = s["tke_3d"]
@@ -826,6 +934,8 @@ class FlowSolver:
         if not self._initial_export_done:
             self.export()
             self._initial_export_done = True
+        from ..utils.profiling import timed_stage
+
         use_scan = update_forcings is None
         while self.simulation_time <= o.simulation_end_time - 1e-5:
             if use_scan:
@@ -833,14 +943,16 @@ class FlowSolver:
                 n = max(1, int(round(
                     (min(next_export, o.simulation_end_time + self.dt)
                      - self.simulation_time) / self.dt)))
-                state = self._advance_n_jit(state, swe_fields, bnd_sw, n)
+                with timed_stage("mode_split_step"):
+                    state = self._advance_n_jit(state, swe_fields, bnd_sw, n)
                 self.iteration += n
                 self.simulation_time += n * self.dt
             else:
                 update_forcings(self.simulation_time + self.dt)
                 swe_fields = self._gather_swe_fields()
                 bnd_sw = self._gather_bnd_sw()
-                state = self._step_jit(state, swe_fields, bnd_sw)
+                with timed_stage("mode_split_step"):
+                    state = self._step_jit(state, swe_fields, bnd_sw)
                 self.iteration += 1
                 self.simulation_time += self.dt
             if self.simulation_time >= next_export - 1e-5:
@@ -848,9 +960,10 @@ class FlowSolver:
                 next_export += o.simulation_export_time
                 self._set_state(state)
                 self._print_state(state)
-                self.export()
-                if export_func is not None:
-                    export_func()
+                with timed_stage("export"):
+                    self.export()
+                    if export_func is not None:
+                        export_func()
         self._set_state(state)
 
     def _gather_bnd_sw(self):
@@ -860,6 +973,15 @@ class FlowSolver:
             for m, spec in self.bnd_functions.get(
                 "shallow_water", {}).items()
         }
+
+    def print_state_debug(self):
+        """Min/max dump of every registered field (ref
+        ``solver.py:1193-1214`` ``print_state_debug``)."""
+        for key in sorted(self.fields.keys()):
+            d = np.asarray(self.fields[key].data)
+            print_output(
+                f"{key:16s} {d.min():14.6e} .. {d.max():14.6e}"
+            )
 
     def _print_state(self, state):
         asm = self.asm

@@ -90,7 +90,10 @@ def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
     n = b.shape[0]
     m = int(restart)
     bnorm = jnp.linalg.norm(b)
-    tiny = jnp.asarray(1e-300, dtype=b.dtype)
+    # dtype-aware floors: a 1e-300 literal underflows to zero in f32 and
+    # turns Arnoldi breakdown (exact convergence inside a cycle) into 0/0
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
+    brk = jnp.asarray(jnp.finfo(b.dtype).eps, dtype=b.dtype)
 
     def cycle(carry):
         x, it, _ = carry
@@ -110,8 +113,15 @@ def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
             h = V @ w                         # (m+1,)
             w = w - h @ V
             hj1 = jnp.linalg.norm(w)
+            # breakdown (Krylov space exhausted): keep a zero basis row
+            # instead of dividing by ~0 — lstsq then ignores the column
+            v_next = jnp.where(
+                hj1 > brk * jnp.maximum(beta, tiny),
+                w / jnp.maximum(hj1, tiny),
+                jnp.zeros_like(w),
+            )
             H = H.at[:, j].set(h).at[j + 1, j].set(hj1)
-            V = V.at[j + 1].set(w / jnp.maximum(hj1, tiny))
+            V = V.at[j + 1].set(v_next)
             Z = Z.at[j].set(z)
             return V, Z, H
 
@@ -172,11 +182,13 @@ def _linsolve(matvec, b, precond, params):
     # surface it immediately instead of "physics" bugs).  Stagnation at
     # roundoff (rnorm ~ bnorm on a nearly-converged Picard sweep) is NOT
     # divergence.
-    diverged = rnorm > 1e4 * jnp.maximum(bnorm, 1e-300)
+    diverged = rnorm > 1e4 * jnp.maximum(bnorm,
+                                         jnp.finfo(rnorm.dtype).tiny)
     if getattr(params, "monitor_convergence", False):
         jax.debug.print(
             "KSP final rel. residual {r} (diverged={d})",
-            r=rnorm / jnp.maximum(bnorm, 1e-300), d=diverged,
+            r=rnorm / jnp.maximum(bnorm, jnp.finfo(rnorm.dtype).tiny),
+            d=diverged,
         )
     x_flat = jnp.where(diverged, jnp.nan, x_flat)
     return unravel(x_flat)

@@ -112,12 +112,13 @@ class WaveEquationSchurPC:
         def body(_, carry):
             x, r, p, rz = carry
             Ap = self._schur_apply(p)
-            alpha = rz / jnp.maximum(_tree_dot(p, Ap), 1e-300)
+            alpha = rz / jnp.maximum(_tree_dot(p, Ap),
+                                     jnp.finfo(rz.dtype).tiny)
             x = _tree_axpy(alpha, p, x)
             r = _tree_axpy(-alpha, Ap, r)
             z = self._me_inv(r)
             rz_new = _tree_dot(r, z)
-            beta = rz_new / jnp.maximum(rz, 1e-300)
+            beta = rz_new / jnp.maximum(rz, jnp.finfo(rz.dtype).tiny)
             p = _tree_axpy(beta, p, z)
             return x, r, p, rz_new
 
