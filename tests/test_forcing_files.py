@@ -157,3 +157,90 @@ def test_atm_netcdf_interpolator(tmp_path):
     np.testing.assert_allclose(out["wind_stress"][:, 0], tau_x, rtol=1e-6)
     np.testing.assert_allclose(out["wind_stress"][:, 1], 0.0, atol=1e-12)
     np.testing.assert_allclose(out["atmospheric_pressure"], 101325.0)
+
+
+def write_fes_file(path, lat_ax, lon_ax, names, amp_cm, pha_deg):
+    from scipy.io import netcdf_file
+
+    nc, nlat, nlon = amp_cm.shape
+    with netcdf_file(str(path), "w") as f:
+        f.createDimension("nc", nc)
+        f.createDimension("nct", 4)
+        f.createDimension("lat", nlat)
+        f.createDimension("lon", nlon)
+        con = f.createVariable("spectrum", "c", ("nc", "nct"))
+        for i, n in enumerate(names):
+            con[i, :] = np.frombuffer(n.ljust(4).encode(), dtype="S1")
+        f.createVariable("lat", "d", ("lat",))[:] = lat_ax
+        f.createVariable("lon", "d", ("lon",))[:] = lon_ax
+        f.createVariable("Ha", "d", ("nc", "lat", "lon"))[:] = amp_cm
+        f.createVariable("Hg", "d", ("nc", "lat", "lon"))[:] = pha_deg
+
+
+def test_fes2004_tidal_boundary_forcing(tmp_path):
+    from thetis_tpu.model.forcing import FES2004TidalBoundaryForcing
+
+    lat_ax = np.linspace(50.0, 60.0, 11)
+    lon_ax = np.linspace(0.0, 10.0, 11)
+    LAT, LON = np.meshgrid(lat_ax, lon_ax, indexing="ij")
+    amp = np.stack([100.0 + 10.0 * LAT / 60.0])   # cm
+    pha = np.stack([30.0 + 0.0 * LAT])            # deg
+    write_fes_file(tmp_path / "tide.fes2004.nc", lat_ax, lon_ax,
+                   ["m2"], amp, pha)
+    init = datetime.datetime(2024, 3, 1, tzinfo=UTC)
+    latlon = np.array([[55.0, 5.0]])
+    tbnd = FES2004TidalBoundaryForcing(
+        latlon, init, data_dir=str(tmp_path))
+    assert tbnd.constituents == ["M2"]
+    np.testing.assert_allclose(
+        tbnd.amplitudes[0, 0], (100.0 + 10.0 * 55.0 / 60.0) * 0.01,
+        rtol=1e-12)
+    np.testing.assert_allclose(tbnd.phases[0, 0], np.deg2rad(30.0),
+                               rtol=1e-9)
+    tide = Tides(["M2"])
+    tide.set_initial_time(init)
+    for t in (0.0, 4000.0):
+        ref = tide.from_amplitude_phase(
+            tbnd.amplitudes[0], tbnd.phases[0], t)
+        np.testing.assert_allclose(tbnd.set_tidal_field(t)[0], ref,
+                                   atol=1e-12)
+
+
+def test_generic_2d_and_ocean_3d_interpolators(tmp_path):
+    from scipy.io import netcdf_file
+    from thetis_tpu.model.forcing import (
+        GenericNetCDFInterpolator2D, Ocean3DInterpolator,
+    )
+
+    lon_ax = np.linspace(0.0, 4.0, 5)
+    lat_ax = np.linspace(50.0, 54.0, 5)
+    z_ax = np.array([0.0, 10.0, 50.0])
+    with netcdf_file(str(tmp_path / "ocean_000.nc"), "w") as f:
+        f.createDimension("time", 2)
+        f.createDimension("lon", 5)
+        f.createDimension("lat", 5)
+        f.createDimension("depth", 3)
+        tv = f.createVariable("time", "d", ("time",))
+        tv[:] = [0.0, 3600.0]
+        tv._attributes["units"] = b"seconds since 2024-03-01"
+        f.createVariable("lon", "d", ("lon",))[:] = lon_ax
+        f.createVariable("lat", "d", ("lat",))[:] = lat_ax
+        f.createVariable("depth", "d", ("depth",))[:] = z_ax
+        s = f.createVariable("salinity", "d", ("time", "depth", "lat", "lon"))
+        # S = 30 + z/10 (constant in time and horizontally)
+        s[:] = 30.0 + z_ax[None, :, None, None] / 10.0 + np.zeros((2, 3, 5, 5))
+        sst = f.createVariable("sst", "d", ("time", "lat", "lon"))
+        sst[:] = np.array([10.0, 20.0])[:, None, None] + np.zeros((2, 5, 5))
+
+    init = datetime.datetime(2024, 3, 1, tzinfo=UTC)
+    target = np.array([[1.0, 51.0], [3.0, 53.0]])  # (lon, lat)
+
+    g2 = GenericNetCDFInterpolator2D(
+        target, str(tmp_path / "ocean_*.nc"), init, ["sst"])
+    out = g2.set_fields(1800.0)
+    np.testing.assert_allclose(out["sst"], 15.0, rtol=1e-9)
+
+    o3 = Ocean3DInterpolator(
+        target, str(tmp_path / "ocean_*.nc"), init, ["salinity"])
+    vals = o3.set_fields(0.0, z_nodes=np.array([-5.0, -30.0]))
+    np.testing.assert_allclose(vals["salinity"], [30.5, 33.0], rtol=1e-9)

@@ -100,3 +100,38 @@ def test_ssprk33_stability_and_conservation(channel):
     eta_norm = float(asm.norm_l2(s["elev"]))
     assert np.isfinite(eta_norm) and eta_norm < 7000.0
     assert abs(float(asm.integrate(s["elev"])) - vol0) < 1e-6
+
+
+def test_create_iterator():
+    """Per-step generator API (ref ``solver2d.py:997-1076``): yields the
+    simulation time each step and matches a plain iterate() run."""
+    import numpy as np
+    from thetis_tpu import RectangleMesh, FunctionSpace, Function, solver2d
+
+    def build():
+        lx = 20e3
+        mesh2d = RectangleMesh(10, 2, lx, 4e3)
+        p1 = FunctionSpace(mesh2d, "CG", 1)
+        so = solver2d.FlowSolver2d(mesh2d, Function(p1).assign(20.0))
+        o = so.options
+        o.timestep = 50.0
+        o.simulation_export_time = 200.0
+        o.simulation_end_time = 400.0
+        o.no_exports = True
+        o.swe_timestepper_type = "CrankNicolson"
+        e0 = Function(FunctionSpace(mesh2d, "DG", 1)).interpolate(
+            lambda x, y: 0.4 * np.exp(-(((x - lx / 2) / 3e3) ** 2)))
+        so.assign_initial_conditions(elev=e0)
+        return so
+
+    so_a = build()
+    times = [t for t in so_a.create_iterator()]
+    assert len(times) == 8
+    assert times[-1] == pytest.approx(400.0)
+    assert so_a.i_export == 2
+
+    so_b = build()
+    so_b.iterate()
+    np.testing.assert_allclose(
+        np.asarray(so_a.fields.elev_2d.data),
+        np.asarray(so_b.fields.elev_2d.data), atol=1e-12)

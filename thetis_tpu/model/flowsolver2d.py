@@ -861,6 +861,60 @@ class FlowSolver2d:
         c_q = self.asm.cell_values(self.fields[label].data)
         return float(self.asm.integrate_cellq(H_q * c_q))
 
+    def create_iterator(self, update_forcings=None, export_func=None):
+        """Generator stepping the model one time step per ``next()``,
+        yielding the simulation time after each step and handling exports
+        — for user code that needs per-step control of the loop
+        (ref ``solver2d.py:997-1076``):
+
+        .. code-block:: python
+
+            for t in solver_obj.create_iterator():
+                ...  # user code runs between steps
+        """
+        if not self._initialized:
+            self.initialize()
+        o = self.options
+        state = self._get_state()
+        self.next_export_t = self.simulation_time + o.simulation_export_time
+        if not self._initial_export_done:
+            self._initial_export_done = True
+            self.print_state(0.0)
+            if not o.no_exports:
+                self.export()
+            if export_func is not None:
+                export_func()
+        t_epsilon = 1e-5
+        while self.simulation_time <= o.simulation_end_time - t_epsilon:
+            if update_forcings is not None:
+                update_forcings(self.simulation_time + self.dt)
+            swe_fields = self._gather_swe_fields()
+            tracer_extra = (
+                self._gather_tracer_fields(state) if self.solve_tracer
+                else {}
+            )
+            for k in ("uv_2d", "elev_2d"):
+                tracer_extra.pop(k, None)
+            bnd_sw = self._gather_bnd("shallow_water")
+            bnd_tr = self._gather_bnd("tracer")
+            state = self._advance_jit(
+                self.simulation_time, state, swe_fields, tracer_extra,
+                bnd_sw, bnd_tr,
+            )
+            self.iteration += 1
+            self.simulation_time += self.dt
+            self._set_state(state)
+            self.callbacks.evaluate(mode="timestep")
+            if self.simulation_time >= self.next_export_t - t_epsilon:
+                self.i_export += 1
+                self.next_export_t += o.simulation_export_time
+                self.print_state(0.0)
+                if not o.no_exports:
+                    self.export()
+                if export_func is not None:
+                    export_func()
+            yield self.simulation_time
+
     def print_state_debug(self):
         """Min/max dump of every registered field (ref
         ``solver.py:1193-1214`` ``print_state_debug``)."""

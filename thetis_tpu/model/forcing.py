@@ -24,6 +24,9 @@ __all__ = [
     "smooth_wind_stress",
     "TidalBoundaryForcing",
     "TPXOTidalBoundaryForcing",
+    "FES2004TidalBoundaryForcing",
+    "GenericNetCDFInterpolator2D",
+    "Ocean3DInterpolator",
     "ATMInterpolator",
     "ATMNetCDFInterpolator",
     "CONSTITUENT_FREQUENCIES",
@@ -296,3 +299,180 @@ class ATMNetCDFInterpolator:
         tau_x, tau_y = compute_wind_stress(uwind, vwind, self.method)
         return dict(atmospheric_pressure=prmsl,
                     wind_stress=np.stack([tau_x, tau_y], axis=-1))
+
+
+class FES2004TidalBoundaryForcing:
+    """File-driven tidal boundary forcing in the FES2004 netCDF format
+    (ref ``forcing.py:1146-1160``): per-constituent amplitude (``Ha``,
+    cm) and Greenwich phase lag (``Hg``, degrees) grids over
+    latitude/longitude (``coord_layout = 'lat,lon'``), synthesised with
+    nodal corrections by :class:`thetis_tpu.utils.tides.Tides`.
+
+    :arg latlon: (n, 2) array of (lat, lon) boundary-node coordinates
+    :arg init_date: timezone-aware datetime of simulation t=0
+    """
+
+    coord_layout = "lat,lon"
+    compute_velocity = False
+
+    def __init__(self, latlon, init_date, constituents=None, data_dir="",
+                 elev_file="tide.fes2004.nc"):
+        import os
+        from scipy.interpolate import RegularGridInterpolator
+        from ..utils.netcdf_io import NCFile
+        from ..utils.tides import Tides
+
+        path = os.path.join(data_dir, elev_file)
+        assert os.path.exists(path), (
+            f"File {path} not found, download it from "
+            "ftp://ftp.legos.obs-mip.fr/pub/soa/maree/tide_model/"
+            "global_solution/fes2004/"
+        )
+        latlon = np.asarray(latlon, dtype=float)
+        lat = latlon[:, 0]
+        with NCFile(path) as d:
+            names = None
+            for key in ("spectrum", "con", "constituents"):
+                if key in d.variables:
+                    raw = d.variables[key][:]
+                    names = ["".join(
+                        c.decode() if isinstance(c, bytes) else str(c)
+                        for c in row).strip().upper() for row in raw]
+                    break
+            assert names is not None, f"no constituent names in {path}"
+            lat_ax = lon_ax = None
+            for key in ("lat", "latitude"):
+                if key in d.variables:
+                    lat_ax = np.asarray(d.variables[key][:], dtype=float)
+            for key in ("lon", "longitude"):
+                if key in d.variables:
+                    lon_ax = np.asarray(d.variables[key][:], dtype=float)
+            amp = np.asarray(d.variables["Ha"][:], dtype=float)  # cm
+            pha = np.asarray(d.variables["Hg"][:], dtype=float)  # deg
+        lon = latlon[:, 1] % 360.0 if lon_ax.max() > 180.0 else (
+            (latlon[:, 1] + 180.0) % 360.0 - 180.0)
+        if constituents is not None:
+            wanted = [c.upper() for c in constituents]
+            missing = set(wanted) - set(names)
+            assert not missing, f"constituents not in {path}: {missing}"
+            sel = [names.index(c) for c in wanted]
+            names = wanted
+            amp, pha = amp[sel], pha[sel]
+        self.constituents = names
+        pts = np.stack([lat, lon], axis=-1)  # lat,lon layout
+        n = latlon.shape[0]
+        self.amplitudes = np.empty((n, len(names)))
+        self.phases = np.empty((n, len(names)))
+        for i in range(len(names)):
+            a_itp = RegularGridInterpolator(
+                (lat_ax, lon_ax), amp[i], bounds_error=False,
+                fill_value=None)
+            # interpolate phase through the complex plane (wraparound-safe)
+            re = RegularGridInterpolator(
+                (lat_ax, lon_ax), np.cos(np.deg2rad(pha[i])),
+                bounds_error=False, fill_value=None)
+            im = RegularGridInterpolator(
+                (lat_ax, lon_ax), np.sin(np.deg2rad(pha[i])),
+                bounds_error=False, fill_value=None)
+            self.amplitudes[:, i] = a_itp(pts) * 0.01  # cm -> m
+            self.phases[:, i] = np.arctan2(im(pts), re(pts))
+        from ..utils.tides import Tides as _T
+
+        self.tide = _T(names)
+        self.tide.set_initial_time(init_date)
+
+    def set_tidal_field(self, t):
+        """Elevation (n,) at the boundary nodes at simulation time t."""
+        return self.tide.from_amplitude_phase(
+            self.amplitudes, self.phases, t)
+
+
+class GenericNetCDFInterpolator2D:
+    """Interpolate arbitrary 2D netCDF fields (CF latitude/longitude
+    axes, linear in time over a file tree) onto mesh node coordinates
+    (ref ``GenericSpatialInterpolator2D``/``GenericInterpolator2D``,
+    ``forcing.py:784-950``).
+
+    :arg target_lonlat: (n, 2) mesh node (lon, lat)
+    :arg ncfile_pattern: glob pattern of input files
+    :arg init_date: timezone-aware datetime of simulation t=0
+    :arg variables: list of netCDF variable names to extract
+    """
+
+    def __init__(self, target_lonlat, ncfile_pattern, init_date, variables,
+                 lon_name="lon", lat_name="lat"):
+        self._atm = ATMNetCDFInterpolator(
+            target_lonlat, ncfile_pattern, init_date,
+            var_names={v: v for v in variables},
+            lon_name=lon_name, lat_name=lat_name,
+        )
+        self.variables = list(variables)
+
+    def set_fields(self, t):
+        """{name: (n,) interpolated values} at simulation time t."""
+        data = self._atm.time_interp(t)
+        return {v: self._atm._to_mesh(np.asarray(data[v]))
+                for v in self.variables}
+
+
+class Ocean3DInterpolator:
+    """Interpolate 3D ocean-model fields (z-level netCDF: dims
+    ``(time, depth, lat, lon)``) onto the 3D solver's node coordinates —
+    the NCOM/ROMS-nudging analogue (ref ``NCOMInterpolator`` /
+    ``LiveOceanInterpolator``, ``forcing.py:276-783``; ROMS s-coordinate
+    files must be pre-converted to z levels).
+
+    :arg target_lonlat: (n, 2) horizontal node (lon, lat)
+    :arg ncfile_pattern: glob of forcing files
+    :arg init_date: timezone-aware datetime of simulation t=0
+    :arg variables: list of 3D variable names (e.g. ['salinity',
+        'temperature'])
+    :kwarg depth_name: name of the (positive-down) depth axis
+    """
+
+    def __init__(self, target_lonlat, ncfile_pattern, init_date, variables,
+                 lon_name="lon", lat_name="lat", depth_name="depth"):
+        from ..utils.netcdf_io import NCFile, NetCDFTimeSearch
+        from ..utils.interpolation import LinearTimeInterpolator
+
+        self.variables = list(variables)
+        self.target = np.asarray(target_lonlat, dtype=float)
+        self.timesearch = NetCDFTimeSearch(ncfile_pattern,
+                                           init_date=init_date)
+        with NCFile(self.timesearch.files[0]) as d:
+            self.lon_ax = np.asarray(d.variables[lon_name][:], dtype=float)
+            self.lat_ax = np.asarray(d.variables[lat_name][:], dtype=float)
+            self.z_ax = np.asarray(d.variables[depth_name][:], dtype=float)
+
+        def reader(filename, index):
+            with NCFile(filename) as d:
+                return {v: np.asarray(d.variables[v][index], dtype=float)
+                        for v in self.variables}
+
+        self.time_interp = LinearTimeInterpolator(self.timesearch, reader)
+
+    def set_fields(self, t, z_nodes):
+        """Interpolated fields at simulation time ``t`` for the given
+        per-node depths ``z_nodes`` (n,), positive down or negative up —
+        matched to the file's depth-axis convention automatically.
+
+        :returns: {name: (n,) values}
+        """
+        from scipy.interpolate import RegularGridInterpolator
+
+        z = np.asarray(z_nodes, dtype=float)
+        if self.z_ax.min() >= 0.0:  # positive-down file axis
+            z = np.abs(z)
+        data = self.time_interp(t)
+        pts = np.stack(
+            [z, self.target[:, 1], self.target[:, 0]], axis=-1
+        )  # (depth, lat, lon)
+        out = {}
+        for v in self.variables:
+            grid = np.asarray(data[v])
+            # fill NaNs (land mask) by nearest valid level value
+            itp = RegularGridInterpolator(
+                (self.z_ax, self.lat_ax, self.lon_ax), grid,
+                bounds_error=False, fill_value=None)
+            out[v] = itp(pts)
+        return out
