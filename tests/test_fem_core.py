@@ -166,3 +166,21 @@ def test_timed_stage_profiling():
     print_timers()
     reset_timers()
     assert get_timers() == {}
+
+
+def test_docs_generator(tmp_path):
+    """The docs subsystem generates field/options/API pages from the code
+    (the reference's Sphinx-generated tables analogue)."""
+    import runpy
+    import sys
+    import docs.generate_docs as gd
+
+    gd.gen_field_docs(str(tmp_path))
+    gd.gen_option_docs(str(tmp_path))
+    gd.gen_api_docs(str(tmp_path))
+    field_doc = (tmp_path / "field_documentation.md").read_text()
+    assert "elev_2d" in field_doc and "tke_3d" in field_doc
+    opt_doc = (tmp_path / "model_options.md").read_text()
+    assert "ModelOptions3d" in opt_doc and "use_modesplit_2d" in opt_doc
+    api_doc = (tmp_path / "api.md").read_text()
+    assert "thetis_tpu.solvers.schur" in api_doc

@@ -178,3 +178,90 @@ def test_rtdg_flowsolver():
     )) / math.sqrt(lx * ly) / amp
     print(f"rt-dg FlowSolver2d standing wave rel_err={rel:.4f}")
     assert rel < 0.05, rel
+
+
+def test_bdm_exactness():
+    """BDM1 interpolates linear vector fields exactly (incl. ones outside
+    RT1: u = (y, 0)); divergence and mass are consistent."""
+    from thetis_tpu.fem.bdm import BDMSpace
+
+    mesh = RectangleMesh(5, 4, 2.0, 1.5)
+    V = FunctionSpace(mesh, "DG", 1)
+    asm = DGAssembler(mesh, V)
+    bdm = BDMSpace(mesh, asm)
+    nrm = np.asarray(mesh.facet_normal_np)
+    fv = np.asarray(mesh.facet_verts_np)
+    coords = mesh.coords_np
+
+    def proj(ufun):
+        vals = ufun(coords)  # (nv, 2)
+        return jnp.asarray(np.stack(
+            [(vals[fv[:, 0]] * nrm).sum(-1),
+             (vals[fv[:, 1]] * nrm).sum(-1)], axis=-1))
+
+    # u = (y, x): in BDM1 but NOT in RT1 (non-radial linear part)
+    U = proj(lambda x: np.stack([x[:, 1], x[:, 0]], axis=-1))
+    qp = np.asarray(asm.space._tab_np["qp"])
+    cells = mesh.cells_np
+    p0 = coords[cells[:, 0]]
+    J = np.stack([coords[cells[:, 1]] - p0, coords[cells[:, 2]] - p0],
+                 axis=2)
+    xq = p0[:, None, :] + np.einsum("cij,qj->cqi", J, qp)
+    exact = np.stack([xq[..., 1], xq[..., 0]], axis=-1)
+    uq = np.asarray(bdm.cell_values(U))
+    assert np.abs(uq - exact).max() < 1e-12
+    assert np.abs(np.asarray(bdm.cell_div(U))).max() < 1e-12
+
+    # u = (x, y): div = 2
+    U2 = proj(lambda x: x)
+    assert np.abs(np.asarray(bdm.cell_div(U2)) - 2.0).max() < 1e-12
+    # mass inverse roundtrip
+    r = bdm.mass_apply(U2)
+    Ui = np.asarray(bdm.mass_inverse(r))
+    assert np.abs(Ui - np.asarray(U2)).max() < 1e-8
+    # facet normal trace continuity: traces from both sides dotted with
+    # n_f equal the linear interpolant of the endpoint dofs
+    tr = np.asarray(bdm.facet_traces(U))
+    un = (tr * nrm[:, None, None, :]).sum(-1)       # (nf, 2, nqf)
+    un_own = np.asarray(bdm.facet_un_quad(U))
+    assert np.abs(un - un_own[:, None, :]).max() < 1e-12
+
+
+def test_bdmdg_flowsolver_standing_wave():
+    """element_family='bdm-dg' through FlowSolver2d: standing wave
+    retained, volume conserved."""
+    from thetis_tpu import FunctionSpace as FS, Function, solver2d
+
+    lx, ly, nx = 5e3, 1e3, 60
+    depth = 100.0
+    g = float(physical_constants["g_grav"])
+    c = math.sqrt(g * depth)
+    period = 2 * lx / c
+    n = 40
+    mesh2d = RectangleMesh(nx, 2, lx, ly)
+    p1 = FS(mesh2d, "CG", 1)
+    so = solver2d.FlowSolver2d(mesh2d, Function(p1).assign(depth))
+    o = so.options
+    o.element_family = "bdm-dg"
+    o.polynomial_degree = 0
+    o.timestep = period / n
+    o.simulation_export_time = period
+    o.simulation_end_time = period - 0.1 * period / n
+    o.no_exports = True
+    o.swe_timestepper_type = "CrankNicolson"
+    so.create_function_spaces()
+    amp = 0.01
+    mids = np.asarray(mesh2d.cell_midpoints())
+    eta0 = amp * np.cos(np.pi * mids[:, 0] / lx)[:, None]
+    so.assign_initial_conditions(elev=jnp.asarray(eta0),
+                                 uv=np.asarray([0.0, 0.0]))
+    so.initialize()
+    v0 = so.compute_volume_2d()
+    so.iterate()
+    v1 = so.compute_volume_2d()
+    assert abs(v1 - v0) < 1e-6 * abs(v0)
+    rel = float(so.eq_sw.norm_elev(
+        so.fields.elev_2d.data - jnp.asarray(eta0)
+    )) / math.sqrt(lx * ly) / amp
+    print(f"bdm-dg standing wave rel_err={rel:.4f}")
+    assert rel < 0.05, rel

@@ -49,8 +49,11 @@ class ShallowWaterEquationsRTDG(EquationBase):
         self.area = mesh.cell_area                           # (nc,)
         self.flen = mesh.facet_len                           # (nf,)
         self.fcells = mesh.facet_cells                       # (nf, 2)
-        # facet -> owner-cell sign for continuity assembly
+        # facet -> owner-cell sign/ids for continuity assembly
         self.sigma = self.rt.sigma_np                        # np (nc, 3)
+        import jax.numpy as _jnp
+        self.cell_facets = _jnp.asarray(
+            self.rt.cell_facets_np, dtype=_jnp.int32)
 
         self.add_term("ExternalPressureGradientTerm", "implicit",
                       self._t_epg)
@@ -138,7 +141,9 @@ class ShallowWaterEquationsRTDG(EquationBase):
         c["H_f"] = jnp.maximum(
             0.5 * (c["H_c"][fc[:, 0]] + c["H_c"][fc[:, 1]]), 0.05
         )
-        c["eta_ext"], c["un_ext"] = self._bnd_ext(c["eta0"], U, bnd_values)
+        c["un_mean"] = rt.facet_un_mean(U)
+        c["eta_ext"], c["un_ext"] = self._bnd_ext(
+            c["eta0"], c["un_mean"], bnd_values)
         return c
 
     # ============================ terms ================================
@@ -148,32 +153,33 @@ class ShallowWaterEquationsRTDG(EquationBase):
         nq = rt.wdetJ.shape[1]
         eta_q = jnp.broadcast_to(c["eta"][:, None], (self.mesh.nc, nq))
         B["uv"] = B.get("uv", 0.0) + rt.div_to_dofs(g * eta_q)
-        # boundary: -g eta_rie |e| on the owner dof (interior terms cancel
-        # by H(div) conformity)
+        # boundary: -g eta_rie tested against the own-facet normal trace
+        # (interior terms cancel by H(div) conformity)
         srt = jnp.sqrt(c["H_f"] / g)
         eta_b = c["eta0"]
-        un = c["U"]
+        un = c["un_mean"]
         eta_rie_open = (0.5 * (eta_b + c["eta_ext"])
                         + srt * (un - c["un_ext"]))
         eta_rie_land = eta_b + srt * un
         eta_rie = jnp.where(self.mask_open, eta_rie_open, eta_rie_land)
-        B["uv"] = B["uv"] - jnp.where(
-            self.mask_bnd, g * eta_rie * self.flen, 0.0
-        )
+        nqf = rt.wlen.shape[1]
+        Fq = jnp.where(self.mask_bnd, g * eta_rie, 0.0)[:, None]
+        B["uv"] = B["uv"] - rt.bnd_normal_to_dofs(
+            jnp.broadcast_to(Fq, (self.mesh.nf, nqf)))
 
     def _t_hudiv(self, c, B):
         g = self.g
-        U = c["U"]
+        un = c["un_mean"]
         srt_int = jnp.sqrt(g / c["H_f"])
-        # interior Riemann flux: F = H (U + 0.5 sqrt(g/H) jump(eta))
-        F_int = c["H_f"] * (U + 0.5 * srt_int * (c["eta0"] - c["eta1"]))
+        # interior Riemann flux: F = H (u.n + 0.5 sqrt(g/H) jump(eta))
+        F_int = c["H_f"] * (un + 0.5 * srt_int * (c["eta0"] - c["eta1"]))
         # boundary: land -> 0; open -> linear Riemann with external state
-        un_rie = (0.5 * (U + c["un_ext"])
+        un_rie = (0.5 * (un + c["un_ext"])
                   + 0.5 * srt_int * (c["eta0"] - c["eta_ext"]))
         F_bnd = jnp.where(self.mask_open, c["H_f"] * un_rie, 0.0)
         F = jnp.where(self.mask_bnd, F_bnd, F_int) * self.flen
         # continuity rows: d(eta)/dt A_c = -sum_f sigma_cf F_f
-        loc = -F[self.rt.cell_facets] * jnp.asarray(self.sigma)
+        loc = -F[self.cell_facets] * jnp.asarray(self.sigma)
         B["eta"] = B.get("eta", 0.0) + loc.sum(axis=1)
 
     def _t_hadv(self, c, B):
@@ -185,12 +191,11 @@ class ShallowWaterEquationsRTDG(EquationBase):
         G = uv_q[..., :, None] * uv_q[..., None, :]
         B["uv"] = B.get("uv", 0.0) + rt.grad_to_dofs(G)
         # facet: upwinded -(u_up un) . psi from each side
-        tr = rt.facet_traces(c["U"])                 # (nf, 2, nqf, 2)
-        nqf = tr.shape[2]
-        un = c["U"][:, None]                         # (nf, 1) along n_f
+        tr = rt.facet_traces(c["U"])                 # (nf, 2, nqf, gdim)
+        un = rt.facet_un_quad(c["U"])                # (nf, nqf) along n_f
         s = 0.5 * (jnp.sign(un) + 1.0)               # 1 if flow 0 -> 1
         u_up = (tr[:, 0] * s[..., None]
-                + tr[:, 1] * (1.0 - s)[..., None])   # (nf, nqf, 2)
+                + tr[:, 1] * (1.0 - s)[..., None])   # (nf, nqf, gdim)
         flux = u_up * un[..., None]
         mi = self.mask_int.reshape(-1, 1, 1)
         Ff = jnp.stack([-flux, flux], axis=1) * mi[:, None]

@@ -180,6 +180,19 @@ class RTSpace:
         nqf = self.psi_tr.shape[2]
         return jnp.broadcast_to(U[:, None], (self.mesh.nf, nqf))
 
+    def facet_un_mean(self, U):
+        """Mean normal velocity per facet (= the dof for RT1)."""
+        return U
+
+    def facet_un_quad(self, U):
+        """Normal velocity at facet quad points (nf, nqf)."""
+        return self.facet_normal_values(U)
+
+    def bnd_normal_to_dofs(self, Fq):
+        """Boundary term: integrand (nf, nqf) against the own-facet
+        normal trace (= 1 for RT1); caller masks to boundary facets."""
+        return (self.wlen * Fq).sum(axis=-1)
+
     def facet_traces(self, U):
         """Full velocity vector at facet quad points from each side:
         (nf, 2, nqf, 2)."""

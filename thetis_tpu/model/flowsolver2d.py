@@ -88,8 +88,9 @@ class FlowSolver2d:
         """ref ``solver2d.py:307-352``; dg-dg and dg-cg families."""
         mesh = self.mesh2d
         family = self.options.element_family
-        assert family in ("dg-dg", "dg-cg", "rt-dg"), (
-            "element families implemented so far: dg-dg, dg-cg, rt-dg"
+        assert family in ("dg-dg", "dg-cg", "rt-dg", "bdm-dg"), (
+            "element families implemented so far: dg-dg, dg-cg, rt-dg, "
+            "bdm-dg"
         )
         p = self.options.polynomial_degree
         self.function_spaces = type("FS", (), {})()
@@ -97,17 +98,23 @@ class FlowSolver2d:
         fs.P0_2d = FunctionSpace(mesh, "DG", 0)
         fs.P1_2d = FunctionSpace(mesh, "CG", 1)
         fs.P1DG_2d = FunctionSpace(mesh, "DG", 1)
-        if family == "rt-dg":
-            # lowest-order mimetic pair RT1 x P0 (ref solver2d.py:329-336
-            # uses U = RT(p+1), H = DG(p); implemented member: p = 0)
+        if family in ("rt-dg", "bdm-dg"):
+            # lowest-order mimetic pairs RT1 x P0 / BDM1 x P0 (ref
+            # solver2d.py:329-336 uses U = RT/BDM(p+1), H = DG(p);
+            # implemented member: p = 0)
             assert p == 0, (
-                "rt-dg implements the lowest-order pair RT1 x P0: set "
-                "options.polynomial_degree = 0"
+                f"{family} implements the lowest-order H(div) x P0 pair: "
+                "set options.polynomial_degree = 0"
             )
-            from ..fem.rt import RTSpace
-
             self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", 1))
-            fs.U_2d = RTSpace(mesh, self.asm)
+            if family == "rt-dg":
+                from ..fem.rt import RTSpace
+
+                fs.U_2d = RTSpace(mesh, self.asm)
+            else:
+                from ..fem.bdm import BDMSpace
+
+                fs.U_2d = BDMSpace(mesh, self.asm)
             fs.H_2d = FunctionSpace(mesh, "DG", 0)
         else:
             fs.U_2d = FunctionSpace(mesh, "DG", p, dim=2)
@@ -247,16 +254,17 @@ class FlowSolver2d:
                 bnd_conditions=self.bnd_functions["shallow_water"],
                 tidal_farms=self.tidal_farms,
             )
-        elif o.element_family == "rt-dg":
+        elif o.element_family in ("rt-dg", "bdm-dg"):
             from ..equations.shallowwater_rtdg import (
                 ShallowWaterEquationsRTDG,
             )
             assert not self.tidal_farms, (
-                "tidal farms are not implemented for rt-dg"
+                "tidal farms are not implemented for the H(div) families"
             )
             assert not (self.solve_nh or self.solve_tracer
                         or self.solve_sediment or self.solve_exner), (
-                "rt-dg currently supports the plain shallow-water system"
+                "rt-dg/bdm-dg currently support the plain shallow-water "
+                "system"
             )
             self.eq_sw = ShallowWaterEquationsRTDG(
                 self.mesh2d, self.asm, self.function_spaces.U_2d, o,
@@ -796,7 +804,7 @@ class FlowSolver2d:
                 )
 
     def _interp_to(self, space, value):
-        if getattr(space, "family", "") == "RT":
+        if getattr(space, "family", "") in ("RT", "BDM"):
             v = value.data if isinstance(value, Function) else value
             if isinstance(v, Constant):
                 v = v.value
@@ -844,7 +852,7 @@ class FlowSolver2d:
 
     def compute_volume_2d(self):
         eta = self.fields.elev_2d.data
-        if self.options.element_family == "rt-dg":
+        if self.options.element_family in ("rt-dg", "bdm-dg"):
             area = np.asarray(self.mesh2d.cell_area_np)
             return float((area * np.asarray(eta[:, 0])).sum()
                          + (area * np.asarray(self.eq_sw.bathy_c)).sum())
@@ -927,7 +935,7 @@ class FlowSolver2d:
     def print_state(self, cputime, print_header=False):
         """ref ``solver2d.py:923-971``."""
         eta = self.fields.elev_2d.data
-        if self.options.element_family == "rt-dg":
+        if self.options.element_family in ("rt-dg", "bdm-dg"):
             norm_eta = float(self.eq_sw.norm_elev(eta))
             norm_uv = float(self.eq_sw.norm_uv(self.fields.uv_2d.data))
         elif eta.ndim == 1:  # CG elevation (dg-cg family)

@@ -90,15 +90,24 @@ class SSPRK33(TimeIntegrator):
 
 
 class CrankNicolson(TimeIntegrator):
-    """theta-scheme (ref ``timeintegrator.py:168-252``)."""
+    """theta-scheme (ref ``timeintegrator.py:168-252``).
+
+    :kwarg preconditioner: 'mass' (default) or 'schur' — the latter
+        builds the wave-equation Schur block preconditioner
+        (:class:`~thetis_tpu.solvers.schur.WaveEquationSchurPC`) at the
+        old solution each step; only meaningful for shallow-water-type
+        equations exposing the EPG/HUDiv term names."""
 
     cfl_coeff = np.inf
 
     def __init__(self, equation, dt, options=None, theta=0.5,
-                 semi_implicit=False, solver_parameters=None):
+                 semi_implicit=False, solver_parameters=None,
+                 preconditioner="mass", schur_inner_iterations=10):
         super().__init__(equation, dt, options)
         self.theta = float(theta)
         self.semi_implicit = semi_implicit
+        self.preconditioner = str(preconditioner)
+        self.schur_inner_iterations = int(schur_inner_iterations)
         self.params = solver_parameters or NewtonParameters()
         if semi_implicit:
             # Picard linearisation: one linear solve per step, terms are
@@ -122,7 +131,16 @@ class CrankNicolson(TimeIntegrator):
                 [(1.0, eq.mass_term(u)), (-th * dt, r_impl), (1.0, const)]
             )
 
-        return newton_solve(F, u_old, precond=eq.mass_inverse, params=self.params)
+        if self.preconditioner == "schur":
+            from ..solvers.schur import WaveEquationSchurPC
+
+            pc = WaveEquationSchurPC(
+                eq, dt, th, u_old, fields, bnd_values,
+                inner_iterations=self.schur_inner_iterations,
+            )
+        else:
+            pc = eq.mass_inverse
+        return newton_solve(F, u_old, precond=pc, params=self.params)
 
 
 class BackwardEuler(CrankNicolson):
