@@ -214,12 +214,20 @@ def test_sharded_3d_step_matches_serial():
     bathy_g = 20.0 + 5.0 * np.sin(mesh.coords_np[:, 0] / lx * np.pi)
 
     def make_solver(m, b):
+        from thetis_tpu.solvers.newton import NewtonParameters
+
         s = FlowSolver(m, jnp.asarray(b), nz)
         s.options.update(dict(
             timestep=30.0, simulation_export_time=300.0,
             simulation_end_time=300.0, use_turbulence=False,
             use_smagorinsky_viscosity=False, horizontal_viscosity=5.0,
             coriolis_frequency=1e-4,
+            # bit-exactness check: converge the barotropic Krylov to
+            # machine precision so serial and sharded solves agree to
+            # roundoff (the production default stops at the PETSc-class
+            # 1e-5, where the two FP paths halt at different iterates)
+            barotropic_solver_parameters=NewtonParameters(
+                ksp_rtol=1e-13, ksp_max_it=192, gmres_restart=48),
         ))
         s.initialize()
         return s

@@ -311,3 +311,37 @@ def test_3d_time_step_control():
     n = o.simulation_export_time / so.dt
     assert abs(n - round(n)) < 1e-9
     assert so.dt > 0
+
+
+def test_limiter3d():
+    """Prism vertex-based limiter (ref ``limiter.py:48-222``): uniform
+    and linear-in-z fields pass through (surface/bottom mean relaxation),
+    an oscillatory overshoot is clipped, element means are conserved."""
+    from thetis_tpu.equations.limiter import VertexBasedP1DGLimiter3D
+
+    mesh2d = RectangleMesh(6, 3, 6e3, 3e3)
+    nz = 5
+    lim = VertexBasedP1DGLimiter3D(mesh2d, nz)
+
+    # uniform: untouched
+    u = jnp.full((mesh2d.nc, 3, nz, 2), 3.3)
+    np.testing.assert_allclose(np.asarray(lim.apply(u)), 3.3)
+
+    # linear in z (horizontally uniform): surface/bottom relaxation keeps
+    # the monotone profile intact
+    z = np.linspace(0.0, 1.0, nz + 1)
+    prof = np.stack([z[:-1], z[1:]], axis=-1)        # (nz, 2)
+    u2 = jnp.broadcast_to(jnp.asarray(prof)[None, None],
+                          (mesh2d.nc, 3, nz, 2))
+    out2 = np.asarray(lim.apply(u2))
+    np.testing.assert_allclose(out2, np.asarray(u2), atol=1e-12)
+
+    # single-element spike: overshoot limited toward neighbour means,
+    # element means conserved
+    u3 = np.zeros((mesh2d.nc, 3, nz, 2))
+    u3[4, 1, 2, 1] = 6.0   # big nodal overshoot
+    u3[4, 0, 2, 0] = -6.0
+    out3 = np.asarray(lim.apply(jnp.asarray(u3)))
+    np.testing.assert_allclose(out3.mean(axis=(1, 3)),
+                               u3.mean(axis=(1, 3)), atol=1e-12)
+    assert out3.max() < u3.max() - 1.0, "overshoot not limited"

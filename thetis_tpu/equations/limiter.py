@@ -17,7 +17,7 @@ Vector fields are limited component-wise (ref ``limiter.py:188-196``).
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["VertexBasedP1DGLimiter"]
+__all__ = ["VertexBasedP1DGLimiter", "VertexBasedP1DGLimiter3D"]
 
 
 class VertexBasedP1DGLimiter:
@@ -76,6 +76,156 @@ class VertexBasedP1DGLimiter:
     def apply(self, u):
         """Limit a (nc,3) or (nc,3,k) dof array; returns the limited array."""
         if u.ndim == 3:
+            comps = [self._apply_scalar(u[..., k]) for k in range(u.shape[-1])]
+            return jnp.stack(comps, axis=-1)
+        return self._apply_scalar(u)
+
+
+class VertexBasedP1DGLimiter3D:
+    """Vertex-based slope limiter for prism P1DG fields on the extruded
+    mesh (ref ``limiter.py:48-222``, including the boundary-facet mean
+    relaxation kernels at lateral walls and surface/bottom — op2 C
+    kernels in the reference).
+
+    Fields are the dense column layout (nc, 3, nz, 2); element (c, k)
+    touches 3D vertices (v in cell c) x (interfaces k, k+1).  Element
+    means are preserved (conservative) and uniform fields pass through
+    unchanged.
+
+    Implementation note: all bounds are computed with *gathers* over
+    fixed-width vertex incidence tables (vertex -> incident cells /
+    boundary facets, padded by duplication) — scatter-max costs ~3x a
+    gather on TPU and this runs twice per 3D step.  Table widths are
+    compile-time constants shared across partition SubMeshes so the
+    distributed solver can stack per-device clones.
+    """
+
+    #: fixed incidence-table widths (compile-time; uniform across
+    #: partition SubMeshes).  Incidence beyond the width is truncated —
+    #: on partition SubMeshes the overflow comes from padding slots that
+    #: duplicate one real cell (identical centroids, so dropping them
+    #: cannot change a max/min); real triangle meshes stay well below.
+    MAX_VERTEX_DEGREE = 24
+    MAX_VERTEX_BND_FACETS = 4
+
+    def __init__(self, mesh2d, n_layers):
+        self.mesh = mesh2d
+        self.nz = int(n_layers)
+        self.cells = mesh2d.cells                 # (nc, 3)
+        cells_np = np.asarray(mesh2d.cells_np)
+        nv = mesh2d.nv
+        nc = mesh2d.nc
+
+        # vertex -> incident cells, padded by duplicating the first
+        # incident cell (idempotent under max/min)
+        K = self.MAX_VERTEX_DEGREE
+        counts = np.zeros(nv, np.int64)
+        np.add.at(counts, cells_np.ravel(), 1)
+        order = np.argsort(cells_np.ravel(), kind="stable")
+        ptr = np.concatenate([[0], np.cumsum(counts)])
+        flat = (order // 3).astype(np.int32)
+        v2c = np.empty((nv, K), np.int32)
+        for v in range(nv):
+            inc = flat[ptr[v]:ptr[v + 1]]
+            if len(inc) == 0:
+                inc = np.zeros(1, np.int32)
+            elif len(inc) > K:
+                # keep distinct cells first so truncation only ever drops
+                # duplicates (partition padding slots)
+                inc = np.unique(inc)[:K]
+            v2c[v, :len(inc)] = inc
+            v2c[v, len(inc):] = inc[0]
+        self.v2c = jnp.asarray(v2c)
+
+        # vertex -> incident *boundary* facets (lateral walls), padded by
+        # duplication; vertices with none point at facet 0 with a mask
+        is_bnd = np.asarray(mesh2d.facet_is_boundary_np)
+        fverts = np.asarray(mesh2d.facet_verts_np)
+        KB = self.MAX_VERTEX_BND_FACETS
+        v2f = np.zeros((nv, KB), np.int32)
+        v2f_n = np.zeros(nv, np.int64)
+        for f in np.nonzero(is_bnd)[0]:
+            for v in fverts[f]:
+                if v2f_n[v] < KB:
+                    v2f[v, v2f_n[v]] = f
+                    v2f_n[v] += 1
+        for v in range(nv):
+            if v2f_n[v] == 0:
+                continue
+            v2f[v, v2f_n[v]:] = v2f[v, 0]
+        self._has_bnd = bool(is_bnd.any())
+        self.v2f = jnp.asarray(v2f)
+        self.v2f_mask = jnp.asarray(v2f_n > 0)
+        own = np.asarray(mesh2d.facet_cells_np)[:, 0]
+        lf = np.asarray(mesh2d.facet_local_np)[:, 0]
+        self.bnd_cell = jnp.asarray(own, dtype=jnp.int32)
+        self.bnd_n1 = jnp.asarray((lf + 1) % 3, dtype=jnp.int32)
+        self.bnd_n2 = jnp.asarray((lf + 2) % 3, dtype=jnp.int32)
+
+    def _apply_scalar(self, u):
+        nz = self.nz
+        centroid = u.mean(axis=(1, 3))            # (nc, nz)
+        # per-vertex, per-layer extrema of incident element centroids
+        cent_v = centroid[self.v2c]               # (nv, K, nz)
+        cmax = cent_v.max(axis=1)                 # (nv, nz)
+        cmin = cent_v.min(axis=1)
+        # interface bounds: merge the two adjacent layers; the
+        # surface/bottom relaxation (ref op2 kernels L118-160) extends
+        # the single-sided top/bottom interfaces with the horizontal
+        # face means so monotone vertical profiles pass untouched
+        bot_mean = u[:, :, 0, 0].mean(axis=1)     # (nc,)
+        top_mean = u[:, :, nz - 1, 1].mean(axis=1)
+        fb_max = bot_mean[self.v2c].max(axis=1)   # (nv,)
+        fb_min = bot_mean[self.v2c].min(axis=1)
+        ft_max = top_mean[self.v2c].max(axis=1)
+        ft_min = top_mean[self.v2c].min(axis=1)
+        qmax = jnp.concatenate([
+            jnp.maximum(cmax[:, :1], fb_max[:, None]),
+            jnp.maximum(cmax[:, :-1], cmax[:, 1:]),
+            jnp.maximum(cmax[:, -1:], ft_max[:, None]),
+        ], axis=1)                                # (nv, nz+1)
+        qmin = jnp.concatenate([
+            jnp.minimum(cmin[:, :1], fb_min[:, None]),
+            jnp.minimum(cmin[:, :-1], cmin[:, 1:]),
+            jnp.minimum(cmin[:, -1:], ft_min[:, None]),
+        ], axis=1)
+        if self._has_bnd:
+            # lateral-wall relaxation: per-layer boundary-facet means
+            f1 = u[self.bnd_cell, self.bnd_n1]    # (nf, nz, 2)
+            f2 = u[self.bnd_cell, self.bnd_n2]
+            fmean = 0.25 * (f1 + f2).sum(axis=-1)  # (nf, nz)
+            fm_v = fmean[self.v2f]                 # (nv, KB, nz)
+            big = jnp.asarray(jnp.finfo(u.dtype).max, dtype=u.dtype)
+            mask = self.v2f_mask[:, None, None]
+            fmax = jnp.where(mask, fm_v, -big).max(axis=1)  # (nv, nz)
+            fmin = jnp.where(mask, fm_v, big).min(axis=1)
+            bmax = jnp.concatenate([
+                fmax[:, :1], jnp.maximum(fmax[:, :-1], fmax[:, 1:]),
+                fmax[:, -1:],
+            ], axis=1)
+            bmin = jnp.concatenate([
+                fmin[:, :1], jnp.minimum(fmin[:, :-1], fmin[:, 1:]),
+                fmin[:, -1:],
+            ], axis=1)
+            qmax = jnp.maximum(qmax, bmax)
+            qmin = jnp.minimum(qmin, bmin)
+        ks = jnp.arange(nz)
+        cvb = jnp.broadcast_to(self.cells[:, :, None],
+                               (self.mesh.nc, 3, nz))
+        kb = jnp.broadcast_to(ks[None, None, :], (self.mesh.nc, 3, nz))
+        vmax = jnp.stack([qmax[cvb, kb], qmax[cvb, kb + 1]], axis=-1)
+        vmin = jnp.stack([qmin[cvb, kb], qmin[cvb, kb + 1]], axis=-1)
+        dev = u - centroid[:, None, :, None]
+        eps = jnp.asarray(1e-14, dtype=u.dtype)
+        cb = centroid[:, None, :, None]
+        up = jnp.where(dev > eps, (vmax - cb) / jnp.maximum(dev, eps), 1.0)
+        dn = jnp.where(dev < -eps, (vmin - cb) / jnp.minimum(dev, -eps), 1.0)
+        alpha = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0).min(axis=(1, 3))
+        return cb + alpha[:, None, :, None] * dev
+
+    def apply(self, u):
+        """Limit a (nc, 3, nz, 2[, k]) dof array."""
+        if u.ndim == 5:
             comps = [self._apply_scalar(u[..., k]) for k in range(u.shape[-1])]
             return jnp.stack(comps, axis=-1)
         return self._apply_scalar(u)

@@ -52,6 +52,7 @@ from ..equations.utility3d import (
 )
 from ..equations.eos import LinearEquationOfState, JackettEquationOfState
 from ..equations.turbulence import GenericLengthScaleModel, GLSModelOptions
+from ..equations.limiter import VertexBasedP1DGLimiter3D
 from ..timeintegration.steppers import CrankNicolson
 from ..solvers.newton import NewtonParameters
 from ..utils.log import print_output
@@ -93,6 +94,8 @@ class ModelOptions3d(ModelOptions2d):
             use_modesplit_2d=True,
             vertical_velocity_scale=1e-4,
             use_automatic_timestep=False,
+            # NewtonParameters override for the barotropic Krylov solve
+            barotropic_solver_parameters=None,
         ).items():
             object.__setattr__(self, k, v)
         self._freeze()
@@ -204,6 +207,10 @@ class FlowSolver:
         if o.use_smagorinsky_viscosity:
             self.smagorinsky = SmagorinskyViscosity(
                 self.asm3d, cs=float(o.smagorinsky_coefficient)
+            )
+        if o.use_limiter_for_tracers or o.use_limiter_for_velocity:
+            self.tracer_limiter = VertexBasedP1DGLimiter3D(
+                self.mesh2d, self.n_layers
             )
         if o.use_turbulence:
             self.gls = GenericLengthScaleModel(
@@ -386,11 +393,14 @@ class FlowSolver:
         else:
             self.dt = float(o.timestep)
         # barotropic Krylov: larger restart converges in fewer total
-        # iterations; 1e-6 relative residual is ample for the O(dt)
-        # splitting error of the mode coupling (PETSc-default class
-        # tolerances in the reference)
-        swe_params = NewtonParameters(ksp_rtol=1e-6, ksp_max_it=48,
-                                      gmres_restart=24)
+        # iterations.  1e-5 relative residual is the PETSc-default class
+        # tolerance the reference runs its 2D mode with, and is ample
+        # against the O(dt) splitting error of the mode coupling — the
+        # device trace shows this solve is >half the 3D step, so every
+        # iteration counts (PERF.md).
+        swe_params = (o.barotropic_solver_parameters
+                      or NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
+                                          gmres_restart=24))
         self.swe_stepper = CrankNicolson(
             self.eq_sw, self.dt, semi_implicit=True,
             solver_parameters=swe_params,
@@ -577,24 +587,32 @@ class FlowSolver:
                     correct(ones, ones, label=_ADV_TERMS) - 1.0)
             return u1
 
+        limiter = getattr(self, "tracer_limiter", None)
+
         def ale_advance(eq, key, u0, fields, geom_old, geom_new,
-                        consistency_fix=False, u_prev=None):
+                        consistency_fix=False, u_prev=None, limit=False):
             """Advance one 3D field over the step: a single forward ALE
             stage, the two-stage SSPRK22 ALE predictor/corrector
             (ref ``coupled_timeintegrator.py`` CoupledTwoStageRK) when
             ``options.timestepper_type`` is 'SSPRK22', or LeapFrogAM3
-            when it is 'LeapFrogAM3'."""
+            when it is 'LeapFrogAM3'.  With ``limit`` the vertex-based
+            prism limiter is applied after every stage (ref
+            CoupledTwoStageRK.advance limiter calls)."""
+            lim = (limiter.apply if (limit and limiter is not None)
+                   else (lambda x: x))
             if leapfrog:
-                return lf_advance(eq, key, u0, u_prev, fields, geom_old,
-                                  geom_new, consistency_fix=consistency_fix)
+                return lim(lf_advance(
+                    eq, key, u0, u_prev, fields, geom_old, geom_new,
+                    consistency_fix=consistency_fix))
             u1 = ale_combine(eq, key, u0, u0, fields, geom_old, geom_old,
                              geom_new, 0.0, 1.0,
                              consistency_fix=consistency_fix)
+            u1 = lim(u1)
             if not two_stage:
                 return u1
-            return ale_combine(eq, key, u0, u1, fields, geom_old, geom_new,
-                               geom_new, 0.5, 0.5,
-                               consistency_fix=consistency_fix)
+            return lim(ale_combine(eq, key, u0, u1, fields, geom_old,
+                                   geom_new, geom_new, 0.5, 0.5,
+                                   consistency_fix=consistency_fix))
 
         def mesh_velocity(elev_old, elev_new):
             """w_mesh at layer dof points: dz/dt at fixed sigma =
@@ -672,7 +690,8 @@ class FlowSolver:
             fields3 = {k: v for k, v in fields3.items() if v is not None}
             uv_new = ale_advance(eq_mom, "uv_3d", uv_total, fields3,
                                  geom0, geom,
-                                 u_prev=state.get("uv_lf_old"))
+                                 u_prev=state.get("uv_lf_old"),
+                                 limit=o.use_limiter_for_velocity)
             if leapfrog:
                 new_state_lf_uv = uv_total
 
@@ -691,6 +710,7 @@ class FlowSolver:
                     eq_salt, "salt_3d", state["salt_3d"],
                     tr_fields, geom0, geom, consistency_fix=True,
                     u_prev=state.get("salt_lf_old"),
+                    limit=o.use_limiter_for_tracers,
                 )
                 if leapfrog:
                     new_state["salt_lf_old"] = state["salt_3d"]
@@ -699,6 +719,7 @@ class FlowSolver:
                     eq_temp, "temp_3d", state["temp_3d"],
                     tr_fields, geom0, geom, consistency_fix=True,
                     u_prev=state.get("temp_lf_old"),
+                    limit=o.use_limiter_for_tracers,
                 )
                 if leapfrog:
                     new_state["temp_lf_old"] = state["temp_3d"]

@@ -97,24 +97,58 @@ class HaloPartition:
         f_owner0 = owner_of[fc[:, 0]]
         f_owner1 = owner_of[fc[:, 1]]
 
+        # vertex-to-cell incidence: ghosts are *vertex*-adjacent cells
+        # (a superset of the facet-adjacent set) so vertex-coupled
+        # operators — the vertex-based slope limiter — see every element
+        # sharing a vertex with an owned cell (PyOP2 builds the same
+        # closure halo)
+        cells_np = mesh.cells_np
+        nv_tot = mesh.nv
+        v2c_ptr = np.zeros(nv_tot + 1, np.int64)
+        np.add.at(v2c_ptr, cells_np.ravel() + 1, 1)
+        v2c_ptr = np.cumsum(v2c_ptr)
+        order = np.argsort(cells_np.ravel(), kind="stable")
+        v2c = (order // 3).astype(np.int32)
+
+        def vertex_closure(cell_set):
+            """All cells sharing a vertex with any cell in the set."""
+            if not len(cell_set):
+                return np.zeros(0, np.int32)
+            vs = np.unique(cells_np[cell_set])
+            return np.unique(np.concatenate(
+                [v2c[v2c_ptr[v]:v2c_ptr[v + 1]] for v in vs]
+            ))
+
         per_dev = []
         max_f, max_h = 0, 0
         for d in range(D):
-            fsel = np.nonzero((f_owner0 == d) | (f_owner1 == d))[0]
-            cells_d = fc[fsel]
-            owners = owner_of[cells_d]
-            gl = np.unique(cells_d[owners == (d - 1) % D]) if D > 1 else \
+            owned = perm[d * n_loc:(d + 1) * n_loc]
+            # TWO rings of vertex-adjacent cells (the PyOP2 closure-halo
+            # analogue, depth 2): ring 1 feeds every vertex-coupled
+            # operator (vertex slope limiter) applied to *advected*
+            # values, so ring-1 cells must themselves advect correctly —
+            # their stencils live in ring 2
+            ring1 = vertex_closure(owned)
+            ring2 = vertex_closure(ring1)
+            owners = owner_of[ring2]
+            gl = ring2[owners == (d - 1) % D] if D > 1 else \
                 np.zeros(0, np.int32)
-            gr = np.unique(cells_d[owners == (d + 1) % D]) if D > 1 else \
+            gr = ring2[owners == (d + 1) % D] if D > 1 else \
                 np.zeros(0, np.int32)
             far = (owners != d)
             if D > 1:
                 far &= (owners != (d - 1) % D) & (owners != (d + 1) % D)
             assert not far.any(), (
                 "stripe partition requires ring-only adjacency "
-                "(a cell's neighbour lives >1 stripe away); use fewer "
+                "(a cell's 2-ring halo spans >1 stripe away); use fewer "
                 "devices or a finer mesh"
             )
+            # facets touching owned or ring-1 cells: ring-1 assembly is
+            # then complete (the far sides are in ring 2)
+            r1mask = np.zeros(nc, bool)
+            r1mask[ring1] = True
+            r1mask[owned] = True
+            fsel = np.nonzero(r1mask[fc[:, 0]] | r1mask[fc[:, 1]])[0]
             per_dev.append(dict(fsel=fsel, gl=gl, gr=gr))
             max_f = max(max_f, len(fsel))
             max_h = max(max_h, len(gl), len(gr))
@@ -201,20 +235,34 @@ class HaloPartition:
             facet_l_normal = padf(mesh.facet_l_normal_np[fsel], [1.0, 1.0])
             facet_marker = padf(mesh.facet_marker_np[fsel], 0)
             facet_is_bnd = padf(mesh.facet_is_boundary_np[fsel], False)
+            facet_local = padf(mesh.facet_local_np[fsel], [0, 0], np.int32)
             fverts_l = vmap[mesh.facet_verts_np[fsel]]
             assert (fverts_l >= 0).all()
             facet_verts = padf(fverts_l, [0, min(1, NV - 1)], np.int32)
 
-            # owned cells keep their (remapped) facet wiring; ghost/pad
-            # cells point at the zero-length dummy facet: their rows are
-            # discarded, the dummy contributes exactly zero (wlen == 0)
+            # owned AND ring-1 ghost cells get their (remapped) facet
+            # wiring — ring-1 advected values feed the vertex limiter's
+            # bounds, so their cell-gather assembly must be complete
+            # (their facets are in fsel by construction).  Ring-2 ghosts
+            # and pad slots keep the zero-length dummy facet: their rows
+            # are only read pre-advance or discarded.
             fmap = np.full(mesh.nf, F - 1, np.int64)
             fmap[fsel] = np.arange(nfd)
-            owned = eids[:n_loc]
             cell_facets = np.full((n_ext, 3), F - 1, np.int32)
             cell_sides = np.zeros((n_ext, 3), np.int32)
-            cell_facets[:n_loc] = fmap[mesh.cell_facets_np[owned]]
-            cell_sides[:n_loc] = mesh.cell_sides_np[owned]
+            gcf = fmap[mesh.cell_facets_np[eids]]        # (n_ext, 3)
+            complete = (gcf != F - 1).all(axis=1)
+            complete[:n_loc] = True                      # owned always
+            # pad slots (duplicate source cells) stay on the dummy facet
+            # so their (wrong-locality) rows never assemble
+            first = np.zeros(n_ext, bool)
+            _, fidx = np.unique(eids, return_index=True)
+            first[fidx] = True
+            complete &= first
+            cell_facets[complete] = gcf[complete]
+            cell_sides[complete] = mesh.cell_sides_np[eids][complete]
+            cell_facets[:n_loc] = fmap[mesh.cell_facets_np[eids[:n_loc]]]
+            cell_sides[:n_loc] = mesh.cell_sides_np[eids[:n_loc]]
 
             tables = dict(
                 coords_np=mesh.coords_np[vids],
@@ -231,6 +279,7 @@ class HaloPartition:
                 facet_l_normal_np=facet_l_normal,
                 facet_marker_np=facet_marker,
                 facet_is_boundary_np=facet_is_bnd,
+                facet_local_np=facet_local,
                 facet_verts_np=facet_verts,
                 cell_facets_np=cell_facets,
                 cell_sides_np=cell_sides,
