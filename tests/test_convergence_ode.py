@@ -104,3 +104,34 @@ def test_ode_convergence(name, expected, imex):
     order = -slope
     print(f"{name}: errors {errs} order {order:.2f}")
     assert order > expected - 0.25, f"{name} order {order} < {expected}"
+
+
+def test_butcher_to_shuosher():
+    """Shu-Osher conversion (ref ``rungekutta.py:13-87``): SSPRK33 yields
+    the classic Shu-Osher coefficients; a DIRK tableau satisfies the
+    defining identity."""
+    from thetis_tpu.timeintegration.rungekutta import (
+        SCHEMES, butcher_to_shuosher_form,
+    )
+
+    tb = SCHEMES["SSPRK33"]()
+    alpha, beta = butcher_to_shuosher_form(tb.a, tb.b)
+    np.testing.assert_allclose(alpha, [
+        [1.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],
+        [0.75, 0.25, 0.0, 0.0],
+        [1.0 / 3.0, 0.0, 2.0 / 3.0, 0.0],
+    ], atol=1e-12)
+    np.testing.assert_allclose(beta, [
+        [0.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 0.25, 0.0, 0.0],
+        [0.0, 0.0, 2.0 / 3.0, 0.0],
+    ], atol=1e-12)
+
+    tb2 = SCHEMES["DIRK33"]()
+    a2, b2 = butcher_to_shuosher_form(tb2.a, tb2.b)
+    stacked = np.vstack((tb2.a, tb2.b))
+    np.testing.assert_allclose(a2.sum(axis=1), 1.0, atol=1e-12)
+    np.testing.assert_allclose(
+        b2[:, 1:], stacked - a2[:, 1:] @ tb2.a, atol=1e-12)

@@ -11,6 +11,7 @@ import numpy as np
 __all__ = [
     "SCHEMES",
     "AbstractRKScheme",
+    "butcher_to_shuosher_form",
 ]
 
 CFL_UNCONDITIONALLY_STABLE = np.inf
@@ -209,3 +210,46 @@ SCHEMES = {
     "ESDIRKMidpoint": ESDIRKMidpointAbstract,
     "ESDIRKTrapezoid": ESDIRKTrapezoidAbstract,
 }
+
+
+def butcher_to_shuosher_form(a, b):
+    r"""Convert a Butcher tableau to Shu-Osher form (alpha, beta)
+    (ref ``rungekutta.py:13-87``; Ketcheson et al. 2009,
+    doi:10.1016/j.apnum.2008.03.034):
+
+        u^(i) = sum_j alpha[i,j] u^(j) + sum_j beta[i,j] F(u^(j))
+
+    with the (non-unique) choice that beta carries the diagonal of the
+    concatenated tableau for DIRK schemes and the sub-diagonal for
+    explicit schemes.  Returns (s+1, s+1) arrays.
+    """
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    n = a.shape[0]
+    stacked = np.vstack((a, b))
+    implicit = bool(np.diag(a).any())
+    iden = np.eye(n)
+    alpha = np.zeros((n + 1, n + 1))
+    beta = np.zeros((n + 1, n + 1))
+    if implicit:
+        d = np.diag(np.diag(a))
+        al_top = iden - d @ np.linalg.inv(a)
+        b_last = np.zeros_like(b)
+        b_last[-1] = b[-1]
+        al_bot = (b - b_last) @ np.linalg.inv(d) @ (iden - al_top)
+        alpha[:, 1:] = np.vstack((al_top, al_bot))
+        beta[:, 1:] = np.vstack((d, b_last[None, :]
+                                 if b_last.ndim == 1 else b_last))
+    else:
+        lower = stacked[1:, :]
+        d = np.diag(np.diag(lower))
+        alpha[1:, 1:] = iden - d @ np.linalg.inv(lower)
+        beta[1:, :-1] = d
+    # consistency: rows of alpha sum to one
+    alpha[:, 0] = 1.0 - alpha.sum(axis=1)
+    alpha[np.abs(alpha) < 1e-13] = 0.0
+    beta[np.abs(beta) < 1e-13] = 0.0
+    assert np.allclose(alpha.sum(axis=1), 1.0)
+    cols = slice(1, None) if implicit else slice(None, -1)
+    assert np.allclose(beta[:, cols], stacked - alpha[:, cols] @ a)
+    return alpha, beta
