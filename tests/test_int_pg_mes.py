@@ -20,10 +20,15 @@ from thetis_tpu.mesh.extruded import ExtrudedMesh
 from thetis_tpu.equations.utility3d import BaroclinicHeadCalculator
 from thetis_tpu.config import physical_constants
 
-RHO0 = float(physical_constants["rho0"])
-G = float(physical_constants["g_grav"])
+# NOTE: examples (lockExchange, baroclinic_channel) mutate
+# physical_constants["rho0"] at runtime; read at call time, not import
 LX, LY = 10e3, 2e3
 K = 2 * np.pi / LX
+
+
+def _consts():
+    return (float(physical_constants["rho0"]),
+            float(physical_constants["g_grav"]))
 
 
 def rho_fn(x, z):
@@ -33,12 +38,14 @@ def rho_fn(x, z):
 
 def head_fn(x, z):
     """r = -1/rho0 int_z^0 rho' dz' = a sin(kx) z^2 / (2 rho0)."""
-    return 1.0e-2 * np.sin(K * x) * (z**2) / (2 * RHO0)
+    rho0, _ = _consts()
+    return 1.0e-2 * np.sin(K * x) * (z**2) / (2 * rho0)
 
 
 def intpg_x_fn(x, z):
     """g dr/dx = g a k cos(kx) z^2 / (2 rho0)."""
-    return G * 1.0e-2 * K * np.cos(K * x) * (z**2) / (2 * RHO0)
+    rho0, g = _consts()
+    return g * 1.0e-2 * K * np.cos(K * x) * (z**2) / (2 * rho0)
 
 
 def run(refinement):
