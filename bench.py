@@ -80,7 +80,16 @@ def build_workload_2d(nx, ny, stepper="SSPRK33"):
         st = get_stepper("SSPRK33", eq, dt)
     else:
         dt = 2.0 * float(mesh.cell_hmin_np.min()) / c  # CFL ~ 25
-        st = get_stepper("CrankNicolson", eq, dt, semi_implicit=True)
+        from thetis_tpu.solvers.newton import NewtonParameters
+
+        # semi-implicit system is affine + 1-ring local: per-step
+        # assembled-Jacobian KSP (gather+small-matmul matvecs only)
+        st = get_stepper(
+            "CrankNicolson", eq, dt, semi_implicit=True,
+            assembled_solve=True,
+            solver_parameters=NewtonParameters(ksp_rtol=1e-7, ksp_max_it=96,
+                                               gmres_restart=24),
+        )
     n_dofs = mesh.nc * 3 * 3
 
     def nsteps(sol, n):

@@ -94,3 +94,72 @@ def test_exner_bed_evolution():
     x = np.asarray(so.mesh2d.coords_np[:, 0])
     crest = (x > 60.0) & (x < 100.0)
     assert np.abs(dz[crest]).max() > np.abs(dz[~crest]).max() * 0.5
+
+
+def test_sediment_slide_relaxes_steep_slope():
+    """ExnerSedimentSlideTerm (ref ``exner_eq.py:132-150`` +
+    ``sediment_model.py:312-354``): a bed slope steeper than
+    ``max_angle`` is diffused back toward the angle of repose; slopes
+    below the threshold are untouched (the coefficient vanishes)."""
+    lx, ly = 160.0, 40.0
+
+    def run(use_slide):
+        mesh2d = RectangleMesh(32, 4, lx, ly)
+        P1 = FunctionSpace(mesh2d, "CG", 1)
+        x, y = SpatialCoordinate(mesh2d)
+        # max |grad zb| ~ 0.51 (27 deg) > tan(15 deg) = 0.27
+        bath = Function(P1).interpolate(
+            4.0 + 6.0 * jnp.exp(-(((x - lx / 2) / 10.0) ** 2))
+        )
+        so = solver2d.FlowSolver2d(mesh2d, bath)
+        o = so.options
+        o.timestep = 2.0
+        o.simulation_export_time = 100.0
+        o.simulation_end_time = 100.0
+        o.no_exports = True
+        o.swe_timestepper_type = "CrankNicolson"
+        o.horizontal_viscosity = Constant(0.1)
+        o.norm_smoother = 0.1
+        sed = o.sediment_model_options
+        sed.solve_suspended_sediment = False
+        sed.use_bedload = False
+        sed.use_exner = True
+        sed.use_sediment_slide = use_slide
+        sed.max_angle = 15.0
+        sed.sed_slide_length_scale = 5.0
+        sed.average_sediment_size = 1.6e-4
+        sed.morphological_viscosity = 1e-6
+        so.assign_initial_conditions(uv=jnp.asarray([0.0, 0.0]), elev=0.0)
+        so.iterate()
+        zb = so.fields.bathymetry_2d.data
+        asm = so.asm
+        gz = np.asarray(asm.cell_grads(jnp.asarray(zb)[mesh2d.cells]))
+        return float(np.sqrt((gz**2).sum(-1)).max())
+
+    slope_off = run(False)
+    slope_on = run(True)
+    tanphi = np.tan(np.radians(15.0))
+    assert slope_off > 0.4, slope_off  # steep initial bump preserved
+    assert slope_on < slope_off - 0.05, (slope_on, slope_off)
+    assert slope_on > 0.9 * tanphi  # relaxes toward, not past, the limit
+
+
+def test_sediment_slide_inactive_below_max_angle():
+    """Gentle slopes produce an exactly-zero slide coefficient."""
+    from types import SimpleNamespace
+    from thetis_tpu.model.sediment_model import SedimentModel
+
+    mesh2d = RectangleMesh(8, 4, 160.0, 40.0)
+    so = solver2d.FlowSolver2d(mesh2d, Function(
+        FunctionSpace(mesh2d, "CG", 1)).assign(4.0))
+    o = so.options
+    o.timestep = 2.0
+    sed = o.sediment_model_options
+    sed.max_angle = 32.0
+    sed.sed_slide_length_scale = 5.0
+    sed.average_sediment_size = 1.6e-4
+    sed.morphological_viscosity = 1e-6
+    m = SedimentModel(o, mesh2d)
+    gz = jnp.full((mesh2d.nc, 4, 2), 0.1)  # 5.7 deg << 32 deg
+    alpha = m.get_sediment_slide_term(gz)
+    assert float(jnp.abs(alpha).max()) == 0.0

@@ -36,6 +36,16 @@ class ExnerEquation(EquationBase):
         self.add_term("ExnerSourceTerm", "source", self._t_source)
         if so.use_bedload:
             self.add_term("ExnerBedloadTerm", "implicit", self._t_bedload)
+        if so.use_sediment_slide:
+            self.add_term("ExnerSedimentSlideTerm", "implicit", self._t_slide)
+            sr = so.slide_region
+            if sr is None:
+                self._slide_region_q = None
+            else:
+                sr = jnp.asarray(sr.data if hasattr(sr, "data") else sr)
+                if sr.shape[:1] == (mesh.nv,):
+                    sr = sr[mesh.cells]
+                self._slide_region_q = asm.cell_values(sr)
 
         # lumped CG mass (row sums of the consistent mass matrix)
         ml_cell = np.einsum("q,qd->d", asm.space._tab_np["qw"],
@@ -114,6 +124,18 @@ class ExnerEquation(EquationBase):
             qbn = qbx_b * n[..., 0] + qby_b * n[..., 1]
             contrib = -self.fac * qbn * self._mask_q(self.mask_open)
             B["facet"].add(jnp.stack([contrib, jnp.zeros_like(contrib)], axis=1))
+
+    def _t_slide(self, c, B):
+        """Sediment-slide bed diffusion (ref ``exner_eq.py:132-150``):
+        the weak residual is ``alphaconst * grad(zb) . grad(test)`` with
+        the non-positive slide coefficient from the sediment model
+        (``sediment_model.py:312-354``); the reference's interior-penalty
+        terms vanish identically on the continuous (CG1) bed space used
+        here, exactly as they do in the reference's default setup."""
+        alpha = self.sediment_model.get_sediment_slide_term(
+            c["grad_zb_old"], getattr(self, "_slide_region_q", None)
+        )
+        B["grad"].add(alpha[..., None] * c["grad_zb"])
 
     # -- interface -------------------------------------------------------
     def residual(self, label, solution, solution_old, fields, fields_old,

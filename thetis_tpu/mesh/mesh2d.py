@@ -31,7 +31,7 @@ __all__ = ["Mesh2d"]
 
 class Mesh2d:
     def __init__(self, coords, cells, boundary_markers=None, name="mesh2d",
-                 periodic_x_len=None):
+                 periodic_x_len=None, periodic_y_len=None):
         """
         :arg coords: (nv, 2) float vertex coordinates
         :arg cells: (nc, 3) int vertex indices
@@ -52,6 +52,7 @@ class Mesh2d:
         self.coords_np = coords
         self.nv = len(coords)
         self.periodic_x_len = periodic_x_len
+        self.periodic_y_len = periodic_y_len
 
         # enforce CCW orientation (seam-aware differences)
         p = coords[cells]
@@ -187,13 +188,18 @@ class Mesh2d:
 
     # ------------------------------------------------------------------
     def _wrap_dx(self, d):
-        """Unwrap x-components of coordinate differences on a periodic
+        """Unwrap x/y-components of coordinate differences on a periodic
         mesh (shortest representative modulo the period)."""
-        if self.periodic_x_len is None:
+        if self.periodic_x_len is None and \
+                getattr(self, "periodic_y_len", None) is None:
             return d
-        L = self.periodic_x_len
         d = d.copy()
-        d[..., 0] -= L * np.round(d[..., 0] / L)
+        if self.periodic_x_len is not None:
+            L = self.periodic_x_len
+            d[..., 0] -= L * np.round(d[..., 0] / L)
+        Ly = getattr(self, "periodic_y_len", None)
+        if Ly is not None:
+            d[..., 1] -= Ly * np.round(d[..., 1] / Ly)
         return d
 
     def _build_geometry(self):

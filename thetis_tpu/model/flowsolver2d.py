@@ -346,6 +346,56 @@ class FlowSolver2d:
             self.sediment_model = None
         self._equations_created = True
 
+    def _assembled_eligible(self, choice):
+        """The assembled-Jacobian KSP / assembled wave PC require P1DG
+        cell blocks (dg-dg family) and a linear (no wetting-and-drying
+        displacement) mass term."""
+        o = self.options
+        if choice is not None and choice != "assembled":
+            return False
+        return (
+            o.element_family == "dg-dg"
+            and not o.use_wetting_and_drying
+            and getattr(self.asm, "ndofs", None) == 3
+        )
+
+    def _swe_preconditioner(self, choice, theta):
+        """Resolve the implicit-SWE preconditioner choice.
+
+        Auto (None) builds the setup-time assembled wave-Schur PC
+        (the ``AssembledSchurPC`` analogue, ``solvers/assembled.py``) for
+        the plain dg-dg family without wetting-and-drying — the
+        configuration where the rest-state linearization is a uniformly
+        strong preconditioner; otherwise the exact mass inverse."""
+        if callable(choice):
+            return choice
+        if choice is None:
+            choice = ("assembled_schur" if self._assembled_eligible(None)
+                      else "mass")
+        if choice in ("assembled_schur", "assembled"):
+            import numpy as np
+            import jax.numpy as jnp
+            from ..config import physical_constants
+            from ..solvers.assembled import AssembledWavePC
+
+            zero = {
+                "uv": jnp.zeros_like(self.fields.uv_2d.data),
+                "elev": jnp.zeros_like(self.fields.elev_2d.data),
+            }
+            # inner-CG budget for the S solve scales with the implicit
+            # wave CFL (block-Jacobi CG iteration count ~ sqrt(cond(S))
+            # ~ CFL): cheap at small CFL, robust at large
+            g = float(physical_constants["g_grav"])
+            h_max = float(np.asarray(self.bathymetry_dof).max())
+            cfl = (np.sqrt(g * max(h_max, 0.05)) * theta * self.dt
+                   / float(np.asarray(self.mesh2d.cell_hmin_np).min()))
+            n_inner = int(np.clip(2.0 * cfl, 10, 60))
+            return AssembledWavePC(
+                self.eq_sw, self.dt, theta, zero,
+                inner_iterations=n_inner,
+            )
+        return str(choice)
+
     def create_timestepper(self):
         """ref ``solver2d.py:651-702``."""
         if not self._equations_created:
@@ -360,11 +410,34 @@ class FlowSolver2d:
                 getattr(sp, "use_semi_implicit_linearization", False)
             )
             spp = getattr(sp, "solver_parameters", None)
-            kw["solver_parameters"] = (
-                spp if isinstance(spp, NewtonParameters) else NewtonParameters()
-            )
             if name == "CrankNicolson":
                 kw["theta"] = float(getattr(sp, "implicitness_theta", 0.5))
+            if name in ("CrankNicolson", "BackwardEuler"):
+                choice = getattr(sp, "preconditioner", None)
+                if kw["semi_implicit"] and self._assembled_eligible(choice):
+                    # semi-implicit SWE system is affine + 1-ring local:
+                    # assemble the exact per-step Jacobian and run the
+                    # whole KSP on it (PETSc assembled-Jacobian analogue)
+                    kw["assembled_solve"] = True
+                else:
+                    kw["preconditioner"] = self._swe_preconditioner(
+                        choice, theta=kw.get("theta", 1.0),
+                    )
+            if isinstance(spp, NewtonParameters):
+                kw["solver_parameters"] = spp
+            elif kw.get("assembled_solve"):
+                # assembled matvecs are cheap: afford a long restart
+                kw["solver_parameters"] = NewtonParameters(
+                    ksp_rtol=1e-7, ksp_max_it=96, gmres_restart=24
+                )
+            elif callable(kw.get("preconditioner")):
+                # strong (assembled wave) PC: few outer iterations, so a
+                # short FGMRES restart avoids paying unused Arnoldi steps
+                kw["solver_parameters"] = NewtonParameters(
+                    ksp_max_it=24, gmres_restart=8
+                )
+            else:
+                kw["solver_parameters"] = NewtonParameters()
         if name == "SteadyState":
             spp = getattr(sp, "solver_parameters", None)
             if isinstance(spp, NewtonParameters):
@@ -545,6 +618,16 @@ class FlowSolver2d:
         limiter = getattr(self, "tracer_limiter", None)
         labels = self.tracer_labels
         tracer_only = self.options.tracer_only
+        tracer_picard = int(getattr(self.options,
+                                    "tracer_picard_iterations", 1) or 1)
+        if tracer_picard > 1 and solve_tracer:
+            from ..timeintegration.steppers import CrankNicolson as _CN
+            if not isinstance(tracer_stepper, _CN):
+                raise NotImplementedError(
+                    "tracer_picard_iterations > 1 requires a CrankNicolson"
+                    "-family tracer timestepper (ref "
+                    "coupled_timeintegrator_2d.py:115-135)"
+                )
 
         def gather_tracer_fields_traced(state, extra):
             f = dict(extra)
@@ -603,13 +686,20 @@ class FlowSolver2d:
                     new_state["elev"] = fs["elev"]
             if solve_tracer:
                 tf = gather_tracer_fields_traced(new_state, tracer_extra)
-                tr = {l: state[l] for l in labels}
-                tr = tracer_stepper.advance(t, tr, tf, tf, bnd_tr)
-                for l in labels:
-                    cl = tr[l]
+                tr0 = {l: state[l] for l in labels}
+                tr = tr0
+                # tracer Picard sweeps re-linearize the semi-implicit
+                # solve at the previous iterate
+                # (ref ``coupled_timeintegrator_2d.py:115-135``)
+                for i in range(tracer_picard):
+                    tr = tracer_stepper.advance(
+                        t, tr0, tf, tf, bnd_tr,
+                        **({"linearization_state": tr} if i > 0 else {}),
+                    )
                     if limiter is not None:
-                        cl = limiter.apply(cl)
-                    new_state[l] = cl
+                        tr = {l: limiter.apply(cl) for l, cl in tr.items()}
+                for l in labels:
+                    new_state[l] = tr[l]
             if solve_sediment:
                 sf = {
                     "uv_2d": new_state["uv"],
@@ -995,23 +1085,56 @@ class FlowSolver2d:
             e.set_next_export_ix(self.i_export)
 
     # ------------------------------------------------------------------
+    def _resolve_end_date(self):
+        """``simulation_end_date`` (+ ``simulation_initial_date``) wins
+        over ``simulation_end_time`` (ref ``solver2d.py:1086-1103``)."""
+        o = self.options
+        init_date, end_date = o.simulation_initial_date, o.simulation_end_date
+        if init_date is None or end_date is None:
+            return
+        import datetime
+
+        now = init_date + datetime.timedelta(seconds=self.simulation_time)
+        assert end_date > now, (
+            f"simulation end date must be greater than initial time {now}"
+        )
+        if o.simulation_end_time is not None:
+            print_output(
+                "WARNING: both simulation_end_date and simulation_end_time "
+                "set; ignoring simulation_end_time"
+            )
+        o.simulation_end_time = (
+            (end_date - now).total_seconds() + self.simulation_time
+        )
+
     def iterate(self, update_forcings=None, export_func=None):
         """Main time loop (ref ``solver2d.py:974-1144``)."""
         if not self._initialized:
             self.initialize()
         o = self.options
+        self._resolve_end_date()
+        if o.log_output and not o.no_exports:
+            from ..utils.log import set_log_directory
 
-        # auto-attach conservation/overshoot callbacks (ref L1040-1085)
+            set_log_directory(o.output_directory)
+
+        # auto-attach conservation/overshoot callbacks (ref L1040-1085);
+        # their time series go to HDF5 when export_diagnostics is on
+        # (ref ``solver2d.py:1040``)
+        dump_hdf5 = o.export_diagnostics and not o.no_exports
         if o.check_volume_conservation_2d:
-            self.add_callback(VolumeConservation2DCallback(self))
+            self.add_callback(
+                VolumeConservation2DCallback(self, export_to_hdf5=dump_hdf5))
         if o.check_tracer_conservation:
             for label in self.tracer_labels:
                 self.add_callback(
-                    TracerMassConservation2DCallback(label, self)
+                    TracerMassConservation2DCallback(
+                        label, self, export_to_hdf5=dump_hdf5)
                 )
         if o.check_tracer_overshoot:
             for label in self.tracer_labels:
-                self.add_callback(TracerOvershootCallBack(label, self))
+                self.add_callback(TracerOvershootCallBack(
+                    label, self, export_to_hdf5=dump_hdf5))
 
         t_epsilon = 1e-5
         self.next_export_t = self.simulation_time + o.simulation_export_time

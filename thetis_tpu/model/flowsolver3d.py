@@ -96,6 +96,10 @@ class ModelOptions3d(ModelOptions2d):
             use_automatic_timestep=False,
             # NewtonParameters override for the barotropic Krylov solve
             barotropic_solver_parameters=None,
+            # 'assembled_schur' (setup-time block-assembled wave-Schur PC,
+            # the AssembledSchurPC analogue) or 'mass'
+            barotropic_preconditioner="assembled_schur",
+            barotropic_pc_inner_iterations=8,
         ).items():
             object.__setattr__(self, k, v)
         self._freeze()
@@ -392,18 +396,28 @@ class FlowSolver:
             self.set_time_step()
         else:
             self.dt = float(o.timestep)
-        # barotropic Krylov: larger restart converges in fewer total
-        # iterations.  1e-5 relative residual is the PETSc-default class
-        # tolerance the reference runs its 2D mode with, and is ample
-        # against the O(dt) splitting error of the mode coupling — the
-        # device trace shows this solve is >half the 3D step, so every
-        # iteration counts (PERF.md).
-        swe_params = (o.barotropic_solver_parameters
-                      or NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
-                                          gmres_restart=24))
+        # barotropic Krylov: 1e-5 relative residual is the PETSc-default
+        # class tolerance the reference runs its 2D mode with, and is
+        # ample against the O(dt) splitting error of the mode coupling —
+        # the device trace shows this solve is >half the 3D step, so every
+        # iteration counts (PERF.md).  Default: the semi-implicit system
+        # is affine with 1-ring sparsity, so the exact Jacobian is
+        # assembled per step by color probing and the whole KSP runs on
+        # gather+small-matmul matvecs (``solvers/assembled.py``; the
+        # PETSc assembled-Jacobian analogue) — no matrix-free residual
+        # evaluations inside the Krylov loop at all.
+        assembled = str(o.barotropic_preconditioner) in (
+            "assembled_schur", "assembled")
+        if assembled:
+            default_params = NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
+                                              gmres_restart=16)
+        else:
+            default_params = NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
+                                              gmres_restart=24)
+        swe_params = (o.barotropic_solver_parameters or default_params)
         self.swe_stepper = CrankNicolson(
             self.eq_sw, self.dt, semi_implicit=True,
-            solver_parameters=swe_params,
+            solver_parameters=swe_params, assembled_solve=assembled,
         )
         self._build_step()
         if not self._exporters_created:
@@ -510,6 +524,26 @@ class FlowSolver:
         _ADV_TERMS = frozenset(
             ["HorizontalAdvectionTerm", "VerticalAdvectionTerm"]
         )
+        # packed tracer transport: all solved tracers plus the constant
+        # "ones" consistency field ride a trailing component axis through
+        # ONE vmapped residual evaluation — the velocity/geometry context
+        # stays unbatched under vmap while the tracer gathers widen (TPU
+        # gather cost is flat in row width, CLAUDE.md), so salt+temp+ones
+        # cost barely more than one tracer.  Sources are excluded (they
+        # would leak into the ones component); the 3D solver applies none.
+        _PACK_TERMS = frozenset(
+            ["HorizontalAdvectionTerm", "VerticalAdvectionTerm",
+             "HorizontalDiffusionTerm", "VerticalDiffusionTerm"]
+        )
+
+        def pack_residual(cp, fields3, geom):
+            def one(cd):
+                return eq_salt.residual(
+                    _PACK_TERMS, {"salt_3d": cd}, {"salt_3d": cd}, fields3,
+                    fields3, {}, geom=geom,
+                )["salt_3d"]
+
+            return jax.vmap(one, in_axes=-1, out_axes=-1)(cp)
 
         def ale_combine(eq, key, u0, u_eval, fields, geom0, geom_eval,
                         geom_new, a, b, consistency_fix=False):
@@ -614,6 +648,51 @@ class FlowSolver:
                                    geom_new, geom_new, 0.5, 0.5,
                                    consistency_fix=consistency_fix))
 
+        def pack_fix(cp_out, cp0, limit):
+            """Post-stage packed consistency fix: subtract the uniform-
+            field drift (last component - 1) from every tracer, apply the
+            vertex limiter per component, reset the ones carrier."""
+            drift = cp_out[..., -1:] - 1.0
+            tr = cp_out[..., :-1] - cp0[..., :-1] * drift
+            if limit and limiter is not None:
+                tr = jax.vmap(limiter.apply, in_axes=-1, out_axes=-1)(tr)
+            return jnp.concatenate(
+                [tr, jnp.ones_like(cp_out[..., -1:])], axis=-1
+            )
+
+        def pack_advance(cp0, fields3, geom_old, geom_new, u_prev=None,
+                         limit=False):
+            """Packed-tracer ALE advance: same stage structure as
+            ``ale_advance`` with ``consistency_fix=True``, but the drift
+            comes from the ones component of the SAME residual pass."""
+
+            def stage(cpa, cpe, ga, ge, gn, a, b):
+                r = pack_residual(cpe, fields3, ge)
+                acc = b * (asm3d.mass_apply(cpe, ge) + dt * r)
+                if a != 0.0:
+                    acc = acc + a * asm3d.mass_apply(cpa, ga)
+                return asm3d.mass_inverse(acc, gn)
+
+            if leapfrog:
+                a, b = 0.5 - 2 * lf_gamma, 0.5 + 2 * lf_gamma
+                cc = 1.0 - 2 * lf_gamma
+                k = asm3d.mass_inverse(
+                    pack_residual(cp0, fields3, geom_old), geom_old
+                )
+                ch = a * u_prev + b * cp0 + dt * cc * k
+                ch = pack_fix(ch, cp0, limit=False)
+                m0 = asm3d.mass_apply(cp0, geom_old)
+                c1 = asm3d.mass_inverse(
+                    m0 + dt * pack_residual(ch, fields3, geom_old), geom_new
+                )
+                return pack_fix(c1, cp0, limit=limit)
+            c1 = stage(cp0, cp0, geom_old, geom_old, geom_new, 0.0, 1.0)
+            c1 = pack_fix(c1, cp0, limit=limit)
+            if not two_stage:
+                return c1
+            c2 = stage(cp0, c1, geom_old, geom_new, geom_new, 0.5, 0.5)
+            return pack_fix(c2, cp0, limit=limit)
+
         def mesh_velocity(elev_old, elev_new):
             """w_mesh at layer dof points: dz/dt at fixed sigma =
             sigma * d(eta)/dt (ref ``ALEMeshUpdater`` w_mesh kernel,
@@ -705,24 +784,24 @@ class FlowSolver:
             new_state = dict(state)
             if leapfrog:
                 new_state["uv_lf_old"] = new_state_lf_uv
-            if solve_salt:
-                new_state["salt_3d"] = ale_advance(
-                    eq_salt, "salt_3d", state["salt_3d"],
-                    tr_fields, geom0, geom, consistency_fix=True,
-                    u_prev=state.get("salt_lf_old"),
-                    limit=o.use_limiter_for_tracers,
-                )
+            tracer_keys = ([k for k, on in (("salt_3d", solve_salt),
+                                            ("temp_3d", solve_temp)) if on])
+            if tracer_keys:
+                ones = jnp.ones_like(state[tracer_keys[0]])
+                cp0 = jnp.stack([state[k] for k in tracer_keys] + [ones],
+                                axis=-1)
+                prev = None
                 if leapfrog:
-                    new_state["salt_lf_old"] = state["salt_3d"]
-            if solve_temp:
-                new_state["temp_3d"] = ale_advance(
-                    eq_temp, "temp_3d", state["temp_3d"],
-                    tr_fields, geom0, geom, consistency_fix=True,
-                    u_prev=state.get("temp_lf_old"),
-                    limit=o.use_limiter_for_tracers,
-                )
-                if leapfrog:
-                    new_state["temp_lf_old"] = state["temp_3d"]
+                    prev = jnp.stack(
+                        [state[k.replace("_3d", "_lf_old")]
+                         for k in tracer_keys] + [ones], axis=-1)
+                cp_new = pack_advance(cp0, tr_fields, geom0, geom,
+                                      u_prev=prev,
+                                      limit=o.use_limiter_for_tracers)
+                for i, k in enumerate(tracer_keys):
+                    new_state[k] = cp_new[..., i]
+                    if leapfrog:
+                        new_state[k.replace("_3d", "_lf_old")] = state[k]
 
             # --- 5. implicit vertical mixing with the eddy coefficients
             # from the previous turbulence update (the reference's

@@ -63,6 +63,10 @@ class TimeStepperOptions(FrozenOptions):
 class SemiImplicitTimeStepperOptions2d(TimeStepperOptions):
     def __init__(self, **kw):
         self.use_semi_implicit_linearization = True
+        #: None (auto: assembled wave-Schur for dg-dg SWE without
+        #: wetting-and-drying, mass inverse otherwise), 'mass', 'schur',
+        #: 'assembled_schur', or a prebuilt callable
+        self.preconditioner = None
         super().__init__(**kw)
 
 

@@ -219,6 +219,45 @@ class SedimentModel:
             return qb_total * calfamod, qb_total * salfamod
         return qb_total * calfa, qb_total * salfa
 
+    def get_sediment_slide_term(self, grad_zb, slide_region_q=None):
+        """Sediment-slide diffusion coefficient ``alphaconst`` (the
+        isotropic tensor's diagonal) at quadrature points
+        (ref ``sediment_model.py:312-354``): where the local bed slope
+        angle beta exceeds ``max_angle``, an artificial bed diffusion
+        relaxes the slope back to the angle of repose over the length
+        scale ``sed_slide_length_scale``.
+
+        :arg grad_zb: bed-gradient (nc, nq, 2) at quad points
+        :arg slide_region_q: optional (nc, nq) mask restricting the
+            mechanism to a region (ref ``slide_region`` option)
+        :returns: (nc, nq) coefficient (non-positive; enters the Exner
+            residual as ``alphaconst * grad(zb) . grad(test)``)
+        """
+        so = self.sed_options
+        tanphi = np.tan(float(so.max_angle) * np.pi / 180.0)
+        L = float(so.sed_slide_length_scale)
+        morfac = float(so.morphological_acceleration_factor)
+        dt = float(self.options.timestep)
+        dz = grad_zb
+        if slide_region_q is not None:
+            dz = slide_region_q[..., None] * dz
+        mag2 = (dz**2).sum(-1)
+        nz = 1.0 / jnp.sqrt(1.0 + mag2)
+        sinbeta = jnp.sqrt(jnp.maximum(1.0 - nz**2, 0.0))
+        tanbeta = sinbeta / nz
+        betaangle = jnp.arcsin(jnp.clip(sinbeta, 0.0, 1.0))
+        qaval = jnp.where(
+            tanbeta - tanphi > 0.0,
+            (1.0 - float(so.porosity)) * 0.5 * L**2 * (tanbeta - tanphi)
+            / jnp.cos(betaangle * dt * morfac),
+            0.0,
+        )
+        return jnp.where(
+            sinbeta > 0.0,
+            -qaval * nz**2 / jnp.maximum(sinbeta, 1e-14),
+            0.0,
+        )
+
     def update(self):
         """No-op: expressions are evaluated functionally each residual call
         (reference API parity, ``sediment_model.py:387``)."""

@@ -1,0 +1,360 @@
+r"""Assembled block-sparse wave-system preconditioner.
+
+The TPU-native analogue of the reference's assembled implicit-SWE
+preconditioning: PETSc assembles the Jacobian and runs fieldsplit /
+bjacobi+ilu KSP on it (the 2D SWE default ``solver_parameters``, ref
+``options.py:44-48``), and ``AssembledSchurPC`` (ref
+``assembledschur.py:5-89``) assembles the elevation Schur complement for
+the pressure-projection path.  The matrix-free analogue
+(:class:`~thetis_tpu.solvers.schur.WaveEquationSchurPC`) pays full
+linearized residual evaluations per application *and* drops the Riemann
+jump-penalty contributions to the diagonal blocks — which dominate at
+large wave CFL (``head_star`` carries ``sqrt(H/g) jump(uv, n)``, ref
+``shallowwater_eq.py:363``, an O(c dt / h) penalty).  Here the **complete
+theta-weighted wave Jacobian**
+
+    W = d/du [ M u - theta dt R_wave(u) ],   R_wave = EPG + HUDiv terms
+
+is extracted once at setup as 1-ring cell blocks (9x9 per cell pair:
+6 uv dofs + 3 eta dofs) and the preconditioner application solves
+``W x = r`` with a fixed-iteration block-Jacobi-preconditioned GMRES —
+every iteration is one index-gather plus a batched small-matrix
+contraction, an order of magnitude fewer device kernels than a
+matrix-free residual pass.
+
+How the blocks are extracted (graph-color probing):
+
+* For P1DG on triangles every wave term couples a cell only to itself
+  and its 3 facet neighbours (the *1-ring*).
+* Color the dual graph so any two cells within distance 2 differ; then
+  for each (color k, packed dof j) the probe ``t[c'] = e_j if
+  color[c'] == k else 0`` isolates exactly one ring member per cell:
+  ``(W t)[c]`` is the j-column of the block ``W[c, n]`` for the unique
+  ring member ``n`` of color ``k``.
+* ~5-10 colors x 9 dofs probes, evaluated in ONE vmapped+jitted call at
+  setup, assemble the exact operator blocks.
+
+Built once at solver setup, linearized about the rest state; depth
+perturbations (eta != 0) and the non-wave implicit terms (advection,
+Coriolis, drag) are absorbed by the outer FGMRES, exactly as PETSc's
+fieldsplit leaves the off-block physics to the outer KSP.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["AssembledWavePC", "cell_ring", "distance2_coloring",
+           "assemble_ring_blocks", "ring_apply", "get_coloring",
+           "assemble_affine_operator", "ring_gmres", "PackedState"]
+
+_WAVE = frozenset(["ExternalPressureGradientTerm", "HUDivTerm"])
+
+
+def cell_ring(mesh):
+    """Closed 1-ring table of the dual graph.
+
+    Returns ``(ring, valid)``: ``ring`` (nc, 4) int array
+    ``[self, n0, n1, n2]`` (neighbour slots point back at ``self`` across
+    boundary facets) and ``valid`` (nc, 4) bool mask (False where the
+    neighbour slot is a boundary mirror)."""
+    cf = np.asarray(mesh.cell_facets_np)
+    fc = np.asarray(mesh.facet_cells_np)
+    nc = cf.shape[0]
+    cells = np.arange(nc, dtype=cf.dtype)
+    both = fc[cf]  # (nc, 3, 2)
+    nbr = np.where(both[:, :, 0] == cells[:, None],
+                   both[:, :, 1], both[:, :, 0])
+    ring = np.concatenate([cells[:, None], nbr], axis=1).astype(np.int32)
+    valid = np.ones((nc, 4), dtype=bool)
+    valid[:, 1:] = nbr != cells[:, None]
+    return ring, valid
+
+
+def distance2_coloring(ring, valid):
+    """Greedy proper coloring of the *square* of the dual graph: any two
+    cells at distance <= 2 receive different colors, so every closed
+    1-ring holds pairwise-distinct colors.  Max dual degree 3 =>
+    typically 5-6, at most ~10 colors."""
+    nc = ring.shape[0]
+    ring2 = ring[ring].reshape(nc, -1)  # (nc, 16) 2-ring incl. duplicates
+    colors = np.full(nc, -1, dtype=np.int64)
+    for c in range(nc):
+        used = colors[ring2[c]]
+        used = used[used >= 0]
+        u = set(used.tolist())
+        col = 0
+        while col in u:
+            col += 1
+        colors[c] = col
+    return colors
+
+
+def assemble_ring_blocks(linop, in_tail, out_tail, ring, valid, colors,
+                         n_colors, nc, dtype=jnp.float32):
+    """Assemble the 1-ring blocks of a linear operator with nearest-
+    neighbour coupling.
+
+    :arg linop: function mapping a stacked probe batch
+        ``(P, nc) + in_tail -> (P, nc) + out_tail`` (i.e. already vmapped
+        over the probe axis)
+    :arg in_tail/out_tail: dof tail shapes, e.g. ``(9,)`` for the packed
+        wave state
+    :returns: blocks ``(nc, 4, out_dim, in_dim)`` with flattened tails,
+        zeroed on invalid (boundary-mirror) slots
+    """
+    in_dim = int(np.prod(in_tail))
+    out_dim = int(np.prod(out_tail))
+    eye = np.eye(in_dim, dtype=np.float32)
+    onehot = (colors[None, :] == np.arange(n_colors)[:, None]).astype(
+        np.float32
+    )  # (K, nc)
+    probes = (onehot[:, None, :, None] * eye[None, :, None, :]).reshape(
+        (n_colors * in_dim, nc, in_dim)
+    )
+    probes = jnp.asarray(probes.reshape((n_colors * in_dim, nc) + in_tail),
+                         dtype=dtype)
+    Y = linop(probes)  # (K*in_dim, nc) + out_tail
+    Y = Y.reshape(n_colors, in_dim, nc, out_dim)
+    cidx = jnp.asarray(colors[ring])  # (nc, 4)
+    # blocks[c, s, j, o] = Y[color[ring[c,s]], j, c, o]
+    blocks = Y[cidx, :, jnp.arange(nc)[:, None], :]  # (nc, 4, in_dim, out_dim)
+    blocks = jnp.swapaxes(blocks, -1, -2)  # (nc, 4, out_dim, in_dim)
+    return blocks * jnp.asarray(valid, dtype=blocks.dtype)[:, :, None, None]
+
+
+def ring_apply(blocks, ring, x):
+    """Apply assembled 1-ring blocks: ``x`` (nc, in_dim) -> (nc, out_dim)."""
+    xg = x[ring]  # (nc, 4, in_dim)
+    return jnp.einsum("csoj,csj->co", blocks, xg)
+
+
+def get_coloring(mesh):
+    """Cached (ring, valid, colors) tables for a mesh."""
+    cached = getattr(mesh, "_ring_coloring", None)
+    if cached is not None:
+        return cached
+    ring, valid = cell_ring(mesh)
+    colors = distance2_coloring(ring, valid)
+    mesh._ring_coloring = (ring, valid, colors)
+    return mesh._ring_coloring
+
+
+def assemble_affine_operator(F, x0, mesh, dtype=None):
+    """Assemble an affine 1-ring-local operator ``F(x) = A x - b`` on
+    packed cell dofs.
+
+    :arg F: function (nc, d) -> (nc, d), affine in its argument with
+        nearest-neighbour (facet) coupling only
+    :arg x0: (nc, d) point to linearize about (exact for affine F)
+    :returns: ``(blocks, f0)`` — ``blocks`` (nc, 4, d, d) such that
+        ``A x = ring_apply(blocks, ring, x)``, and ``f0 = F(0) = -b``.
+
+    Everything is jit-traceable: called per step inside ``lax.scan``,
+    the probes are one vmapped tangent evaluation (shared gathers over a
+    wide probe axis — TPU gather cost is flat in row width)."""
+    ring, valid, colors = get_coloring(mesh)
+    nc, d = x0.shape
+    n_colors = int(colors.max()) + 1
+    f0_at_x0, A = jax.linearize(F, x0)
+    f0 = f0_at_x0 - A(x0)  # affine: F(0) = F(x0) - A x0
+    blocks = assemble_ring_blocks(
+        jax.vmap(A), (d,), (d,), ring, valid, colors, n_colors, nc,
+        dtype=dtype or x0.dtype,
+    )
+    return blocks, f0
+
+
+def ring_gmres(blocks, ring, b, diag_inv=None, rtol=1e-5, restart=24,
+               max_cycles=4):
+    """Solve ``A x = b`` for an assembled 1-ring operator with restarted
+    GMRES, right-preconditioned by block-Jacobi (inverted diagonal
+    blocks).  Every iteration is one gather + one batched contraction —
+    the KSP loop never touches the residual machinery (cf. PETSc KSP on
+    the assembled Jacobian, the reference's 2D default
+    ``options.py:44-48``)."""
+    from .newton import _fgmres_flat
+
+    nc, _, d, _ = blocks.shape
+    if diag_inv is None:
+        diag_inv = jnp.linalg.inv(blocks[:, 0])
+
+    def mv(v):
+        return ring_apply(blocks, ring, v.reshape(nc, d)).reshape(-1)
+
+    def M(v):
+        return jnp.einsum("cij,cj->ci", diag_inv,
+                          v.reshape(nc, d)).reshape(-1)
+
+    x, rnorm, bnorm = _fgmres_flat(mv, b.reshape(-1), M, rtol, restart,
+                                   max_cycles)
+    diverged = rnorm > 1e4 * jnp.maximum(bnorm, jnp.finfo(rnorm.dtype).tiny)
+    x = jnp.where(diverged, jnp.nan, x)
+    return x.reshape(nc, d)
+
+
+class PackedState:
+    """Pack/unpack a pytree of (nc, nd[, k]) cell-dof leaves into a
+    single (nc, d) matrix (deterministic tree order)."""
+
+    def __init__(self, template):
+        leaves, self.treedef = jax.tree_util.tree_flatten(template)
+        self.nc = leaves[0].shape[0]
+        self.shapes = [leaf.shape[1:] for leaf in leaves]
+        self.sizes = [int(np.prod(s)) for s in self.shapes]
+        self.d = sum(self.sizes)
+
+    def pack(self, tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate(
+            [leaf.reshape(self.nc, -1) for leaf in leaves], axis=-1
+        )
+
+    def unpack(self, x):
+        out = []
+        off = 0
+        for s, size in zip(self.shapes, self.sizes):
+            out.append(x[:, off:off + size].reshape((self.nc,) + s))
+            off += size
+        return jax.tree_util.tree_unflatten(self.treedef, out)
+
+
+class AssembledWavePC:
+    r"""Approximate inverse of the theta-weighted implicit SWE system,
+    applied through assembled 1-ring blocks of the wave Jacobian.
+
+    ``__call__`` runs a fixed number of block-Jacobi right-preconditioned
+    GMRES iterations on ``W x = r`` (static control flow for jit/scan);
+    per iteration cost is one ring gather + one (nc, 4, 9, 9) batched
+    contraction.
+
+    Construction runs the color probes in one jitted vmap; build once per
+    solver setup (NOT per step — the blocks are concrete device arrays).
+
+    :arg eq: ShallowWaterEquations-like object (must expose the
+        EPG/HUDiv term names, ``mass_term`` and the P1DG assembler)
+    :arg lin_state: solution pytree to linearize about (typically the
+        rest state)
+    :arg inner_iterations: static GMRES iteration count for the W solve
+    """
+
+    def __init__(self, eq, dt, theta, lin_state, fields=None,
+                 bnd_values=None, inner_iterations=20):
+        self.eq = eq
+        self.coeff = float(theta) * float(dt)
+        self.n_inner = int(inner_iterations)
+        mesh = eq.mesh
+        asm = eq.asm
+        if asm.ndofs != 3:
+            raise NotImplementedError(
+                "assembled wave PC supports P1DG (3-dof) cells; use the "
+                "matrix-free WaveEquationSchurPC for other elements"
+            )
+        fields = fields or {}
+        if bnd_values is None:
+            # zero-valued boundary data with the equation's static BC-key
+            # structure (values only shift the affine part of the
+            # linearization)
+            bnd_values = {
+                m: {k: 0.0 for k in keys}
+                for m, keys in getattr(eq, "bnd_keys", {}).items()
+            }
+
+        ring_np, valid_np = cell_ring(mesh)
+        # cache the coloring on the mesh (shared by every PC on that mesh)
+        colors = getattr(mesh, "_d2_coloring", None)
+        if colors is None:
+            colors = distance2_coloring(ring_np, valid_np)
+            mesh._d2_coloring = colors
+        n_colors = int(colors.max()) + 1
+        nc = ring_np.shape[0]
+        self.nc = nc
+        self.ring = jnp.asarray(ring_np)
+        dtype = lin_state["elev"].dtype
+        c = self.coeff
+
+        def pack(st):
+            return jnp.concatenate(
+                [st["uv"].reshape(nc, 6), st["elev"]], axis=-1
+            )
+
+        def unpack(x):
+            return {"uv": x[:, :6].reshape(nc, 3, 2), "elev": x[:, 6:]}
+
+        self._pack, self._unpack = pack, unpack
+
+        def wave_system(x):
+            """F_wave(u) = M u - theta dt R_wave(u); solution_old fixed at
+            the linearization state (the semi-implicit 'ksponly'
+            linearization, ref ``timeintegrator.py:186-211``)."""
+            st = unpack(x)
+            r = eq.residual(_WAVE, st, lin_state, fields, fields,
+                            bnd_values)
+            m = eq.mass_term(st)
+            return pack({"uv": m["uv"] - c * r["uv"],
+                         "elev": m["elev"] - c * r["elev"]})
+
+        @jax.jit
+        def build_blocks():
+            _, W = jax.linearize(wave_system, pack(lin_state))
+            return assemble_ring_blocks(
+                jax.vmap(W), (9,), (9,), ring_np, valid_np, colors,
+                n_colors, nc, dtype=dtype,
+            )
+
+        Wb = build_blocks()
+        self.Wb = Wb
+        # block-Jacobi: inverted diagonal (slot-0) blocks
+        self.Wdiag_inv = jnp.asarray(
+            np.linalg.inv(np.asarray(Wb[:, 0], dtype=np.float64))
+        ).astype(dtype)
+
+    # -- operator applications ------------------------------------------
+    def _W(self, x):
+        return ring_apply(self.Wb, self.ring, x)
+
+    def _bjac(self, r):
+        return jnp.einsum("cij,cj->ci", self.Wdiag_inv, r)
+
+    def _solve(self, b):
+        """Fixed-iteration non-restarted GMRES on ``W x = b``, right-
+        preconditioned with block-Jacobi (cf. PETSc gmres+bjacobi, the
+        reference's assembled-Jacobian default)."""
+        nc = self.nc
+        m = self.n_inner
+        bf = b.reshape(-1)
+        n = bf.shape[0]
+        dtype = bf.dtype
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype=dtype)
+        beta = jnp.linalg.norm(bf)
+        V0 = jnp.zeros((m + 1, n), dtype=dtype)
+        V0 = V0.at[0].set(bf / jnp.maximum(beta, tiny))
+        Z0 = jnp.zeros((m, n), dtype=dtype)
+        H0 = jnp.zeros((m + 1, m), dtype=dtype)
+        brk = jnp.asarray(jnp.finfo(dtype).eps, dtype=dtype)
+
+        def arnoldi(j, VZH):
+            V, Z, H = VZH
+            z = self._bjac(V[j].reshape(nc, 9)).reshape(-1)
+            w = self._W(z.reshape(nc, 9)).reshape(-1)
+            h = V @ w
+            w = w - h @ V
+            hj1 = jnp.linalg.norm(w)
+            v_next = jnp.where(
+                hj1 > brk * jnp.maximum(beta, tiny),
+                w / jnp.maximum(hj1, tiny),
+                jnp.zeros_like(w),
+            )
+            H = H.at[:, j].set(h).at[j + 1, j].set(hj1)
+            V = V.at[j + 1].set(v_next)
+            Z = Z.at[j].set(z)
+            return V, Z, H
+
+        V, Z, H = jax.lax.fori_loop(0, m, arnoldi, (V0, Z0, H0))
+        e1 = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        return (y @ Z).reshape(b.shape)
+
+    # -- the preconditioner ----------------------------------------------
+    def __call__(self, r):
+        x = self._solve(self._pack(r))
+        return self._unpack(x)

@@ -132,7 +132,11 @@ def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
         # minimum-norm y)
         y = jnp.linalg.lstsq(H, e1)[0]
         x = x + y @ Z
-        rnorm = jnp.linalg.norm(b - mv(x))
+        # projected residual estimate ||beta e1 - H y|| == ||b - A x|| in
+        # exact arithmetic (A Z = V H with orthonormal V): saves the
+        # end-of-cycle matvec; the next cycle restarts from the true
+        # residual anyway
+        rnorm = jnp.linalg.norm(e1 - H @ y)
         return x, it + 1, rnorm
 
     def cond(carry):

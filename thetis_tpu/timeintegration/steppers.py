@@ -92,22 +92,34 @@ class SSPRK33(TimeIntegrator):
 class CrankNicolson(TimeIntegrator):
     """theta-scheme (ref ``timeintegrator.py:168-252``).
 
-    :kwarg preconditioner: 'mass' (default) or 'schur' — the latter
-        builds the wave-equation Schur block preconditioner
+    :kwarg preconditioner: 'mass' (default), 'schur', or a prebuilt
+        callable.  'schur' builds the matrix-free wave-equation Schur
+        block preconditioner
         (:class:`~thetis_tpu.solvers.schur.WaveEquationSchurPC`) at the
-        old solution each step; only meaningful for shallow-water-type
-        equations exposing the EPG/HUDiv term names."""
+        old solution each step; a callable (e.g. a setup-time
+        :class:`~thetis_tpu.solvers.assembled.AssembledWavePC`) is
+        used as-is.  Only meaningful for shallow-water-type equations
+        exposing the EPG/HUDiv term names."""
 
     cfl_coeff = np.inf
 
     def __init__(self, equation, dt, options=None, theta=0.5,
                  semi_implicit=False, solver_parameters=None,
-                 preconditioner="mass", schur_inner_iterations=10):
+                 preconditioner="mass", schur_inner_iterations=10,
+                 assembled_solve=False):
         super().__init__(equation, dt, options)
         self.theta = float(theta)
         self.semi_implicit = semi_implicit
-        self.preconditioner = str(preconditioner)
+        self.preconditioner = (preconditioner if callable(preconditioner)
+                               else str(preconditioner))
         self.schur_inner_iterations = int(schur_inner_iterations)
+        #: semi-implicit stage systems are *affine* in the solution with
+        #: 1-ring (facet-neighbour) sparsity for DG elements: assemble the
+        #: exact per-step system by graph-color probing and run the whole
+        #: Krylov loop on gather+small-matmul matvecs — the TPU analogue of
+        #: PETSc's assembled-Jacobian KSP (the reference's 2D default,
+        #: ref ``options.py:44-48``)
+        self.assembled_solve = bool(assembled_solve) and semi_implicit
         self.params = solver_parameters or NewtonParameters()
         if semi_implicit:
             # Picard linearisation: one linear solve per step, terms are
@@ -115,23 +127,55 @@ class CrankNicolson(TimeIntegrator):
             self.params.snes_max_it = 1
             self.params.snes_rtol = 1e-16
 
-    def advance(self, t, solution, fields, fields_old, bnd_values):
+    def advance(self, t, solution, fields, fields_old, bnd_values,
+                linearization_state=None):
+        """One theta step.  ``linearization_state`` overrides the
+        semi-implicit lagged state — the Picard re-linearization hook
+        (ref ``timeintegrator.py:75`` ``advance_picard``; used by the
+        2D coupled integrator's tracer Picard loop,
+        ``coupled_timeintegrator_2d.py:115-135``)."""
         eq = self.equation
         dt, th = self.dt, self.theta
         u_old = solution
+        u_lag = linearization_state if linearization_state is not None \
+            else u_old
         m_old = eq.mass_term(u_old)
         r_expl = eq.residual("all", u_old, u_old, fields_old, fields_old,
                              bnd_values)
         const = _tree_lc([(-1.0, m_old), (-(1 - th) * dt, r_expl)])
 
         def F(u):
-            u_nl = u_old if self.semi_implicit else u
+            u_nl = u_lag if self.semi_implicit else u
             r_impl = eq.residual("all", u, u_nl, fields, fields, bnd_values)
             return _tree_lc(
                 [(1.0, eq.mass_term(u)), (-th * dt, r_impl), (1.0, const)]
             )
 
-        if self.preconditioner == "schur":
+        if self.assembled_solve:
+            from ..solvers.assembled import (
+                PackedState, assemble_affine_operator, ring_gmres,
+                get_coloring,
+            )
+
+            ps = PackedState(u_old)
+            blocks, f0 = assemble_affine_operator(
+                lambda x: ps.pack(F(ps.unpack(x))), ps.pack(u_old),
+                eq.mesh,
+            )
+            ring, _, _ = get_coloring(eq.mesh)
+            x = ring_gmres(
+                blocks, jnp.asarray(ring), -f0,
+                rtol=self.params.ksp_rtol,
+                restart=self.params.gmres_restart,
+                max_cycles=max(
+                    1, self.params.ksp_max_it // self.params.gmres_restart
+                ),
+            )
+            return ps.unpack(x)
+
+        if callable(self.preconditioner):
+            pc = self.preconditioner
+        elif self.preconditioner == "schur":
             from ..solvers.schur import WaveEquationSchurPC
 
             pc = WaveEquationSchurPC(
