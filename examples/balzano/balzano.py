@@ -72,3 +72,8 @@ if __name__ == "__main__":
     solver_obj.iterate(update_forcings=update_forcings)
     e = np.asarray(solver_obj.fields.elev_2d.data)
     print_output(f"final elevation range {e.min():.3f} .. {e.max():.3f}")
+    assert np.isfinite(e).all()
+    # wetting-drying: the dry-region water depth h + eta + wd displacement
+    # stays positive and the elevation stays within the forcing range
+    assert e.max() < 1.5 * h_amp
+    assert e.min() > -6.0

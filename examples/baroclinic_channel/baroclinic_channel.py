@@ -98,3 +98,9 @@ if __name__ == "__main__":
     print_output(
         f"final temperature range: {temp.min():.2f} .. {temp.max():.2f} degC"
     )
+    assert np.isfinite(temp).all()
+    # slope limiter keeps the stratified front inside its initial range
+    assert temp.min() > 8.0 and temp.max() < 26.0
+    uv3 = np.asarray(solver_obj.fields.uv_3d.data)
+    assert np.isfinite(uv3).all()
+    assert np.abs(uv3).max() > 1e-5  # geostrophic adjustment has begun

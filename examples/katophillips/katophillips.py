@@ -73,3 +73,8 @@ if __name__ == "__main__":
     print_output(
         f"Mixed layer depth: {ml_depth:.2f} m (empirical: {target:.2f} m)"
     )
+    assert np.isfinite(tke).all() and tke.min() >= 0.0
+    # wind-driven mixed layer deepens toward the empirical
+    # Kato-Phillips curve (exercised strictly in tests/test_katophillips)
+    assert ml_depth > 0.0
+    assert ml_depth < 3.0 * target + 5.0

@@ -72,7 +72,13 @@ if __name__ == "__main__":
     xc = solver_obj.mesh2d.cell_midpoints()[:, 0]
     tmid = 0.5 * (temp_left + temp_right)
     warm_on_left = xc[(t_bot < tmid) & (xc > lx / 2)]
+    front_x = (warm_on_left.max() if len(warm_on_left) else lx / 2)
     print_output(
-        f"cold bottom front reached x = "
-        f"{(warm_on_left.max() if len(warm_on_left) else lx / 2) / 1e3:.2f} km"
+        f"cold bottom front reached x = {front_x / 1e3:.2f} km"
     )
+    assert np.isfinite(np.asarray(temp)).all()
+    # limiter keeps temperature within the initial lock values
+    assert np.asarray(temp).min() > temp_left - 0.05
+    assert np.asarray(temp).max() < temp_right + 0.05
+    # the gravity current has moved the bottom front off the midline
+    assert front_x > lx / 2

@@ -52,4 +52,15 @@ solver_obj.assign_initial_conditions()
 if __name__ == "__main__":
     solver_obj.iterate()
     uv = np.asarray(solver_obj.fields.uv_2d.data)
-    print_output(f"max speed: {np.sqrt((uv**2).sum(-1)).max():.4f} m/s")
+    speed = np.sqrt((uv**2).sum(-1))
+    print_output(f"max speed: {speed.max():.4f} m/s")
+    assert np.isfinite(uv).all()
+    # the wind-driven gyre spins up with a west-intensified boundary
+    # current (Stommel solution)
+    assert speed.max() > 1e-3 and speed.max() < 2.0
+    import os as _os
+    if not _os.environ.get("THETIS_REGRESSION_TEST"):
+        x_dof = mesh2d.coords_np[mesh2d.cells_np][..., 0]
+        west = speed[x_dof < 0.2 * lx].max()
+        east = speed[x_dof > 0.8 * lx].max()
+        assert west > east

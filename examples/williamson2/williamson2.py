@@ -82,3 +82,7 @@ if __name__ == "__main__":
         err = np.asarray(state["elev"][:, 0] - eta0[:, 0])
         l2 = math.sqrt(float((area * err**2).sum()) / area.sum()) / amp
         print_output(f"day {day + 1}: elevation rel. L2 error {l2:.4f}")
+    # Williamson case 2 is a steady geostrophic state: the elevation
+    # error growth must stay small on this coarse icosahedral mesh
+    assert np.isfinite(err).all()
+    assert l2 < 0.05, l2

@@ -1,0 +1,49 @@
+"""Ekman layer physics benchmarks (ref ``test/bottomFriction/`` +
+``examples/bottomFriction/``): steady rotating-channel flow with constant
+vertical viscosity against the analytical Ekman spirals."""
+import importlib.util
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def _load(name):
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "bottomFriction", name + ".py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _total_uv(s):
+    uv3 = np.asarray(s.fields.uv_3d.data)
+    uv2 = np.asarray(s.fields.uv_2d.data)
+    return uv3 + uv2[:, :, None, None, :]
+
+
+@pytest.mark.slow
+def test_ekman_bottom_spiral():
+    mod = _load("ekman_bottom")
+    s = mod.bottom_ekman_test(layers=50, iterate=True)
+    uv = _total_uv(s)
+    u_ana, v_ana = mod.analytical_uv(s)
+    # rms error normalised by the interior speed, as in the reference's
+    # errornorm/sqrt(volume) < 0.05 acceptance
+    err = np.sqrt(np.mean((uv[..., 0] - u_ana) ** 2
+                          + (uv[..., 1] - v_ana) ** 2))
+    assert err / 0.4905 < 0.05, err
+
+
+@pytest.mark.slow
+def test_ekman_surface_spiral():
+    mod = _load("ekman_surface")
+    s = mod.surface_ekman_test(layers=50, iterate=True)
+    uv = _total_uv(s)
+    u_ana, v_ana = mod.analytical_uv(s)
+    scale = np.abs(u_ana).max()
+    err = np.sqrt(np.mean((uv[..., 0] - u_ana) ** 2
+                          + (uv[..., 1] - v_ana) ** 2))
+    assert err / scale < 0.08, (err, scale)

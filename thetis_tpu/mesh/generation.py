@@ -66,19 +66,26 @@ def PeriodicRectangleMesh(nx, ny, lx, ly, direction="x",
     seam-aware coordinate differences (``Mesh2d(periodic_x_len=lx)``).
     Boundary markers: 1 = y=0, 2 = y=ly (the reference's x-periodic
     rectangle keeps ids 1/2 for the remaining boundaries)."""
-    assert direction == "x", "only x-periodicity is implemented"
+    assert direction in ("x", "both"), \
+        "periodicity directions implemented: 'x', 'both'"
     # with nx < 3 two geometrically distinct edges share the same vertex
     # pair (e.g. the top edges of both columns at nx=2) and the
     # facet-by-vertex-pair representation degenerates (Firedrake's
     # PeriodicRectangleMesh has the same restriction)
     assert nx >= 3, "x-periodic meshes need nx >= 3"
+    both = direction == "both"
+    if both:
+        assert ny >= 3, "y-periodic meshes need ny >= 3"
     x = np.arange(nx) * (lx / nx)
-    y = np.linspace(0.0, ly, ny + 1)
+    nyv = ny if both else ny + 1
+    y = (np.arange(ny) * (ly / ny) if both
+         else np.linspace(0.0, ly, ny + 1))
     X, Y = np.meshgrid(x, y, indexing="ij")
     coords = np.stack([X.ravel(), Y.ravel()], axis=1)
 
     def vid(i, j):
-        return (i % nx) * (ny + 1) + j
+        jj = j % ny if both else j
+        return (i % nx) * nyv + jj
 
     i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
     i = i.ravel()
@@ -90,6 +97,10 @@ def PeriodicRectangleMesh(nx, ny, lx, ly, direction="x",
     tri1 = np.stack([v00, v10, v11], axis=1)
     tri2 = np.stack([v00, v11, v01], axis=1)
     cells = np.concatenate([tri1, tri2], axis=0).astype(np.int32)
+
+    if both:
+        return Mesh2d(coords, cells, name=name,
+                      periodic_x_len=lx, periodic_y_len=ly)
 
     eps_y = ly * 1e-10 + 1e-300
 

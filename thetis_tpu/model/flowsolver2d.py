@@ -599,7 +599,10 @@ class FlowSolver2d:
                 f[f"diffusivity_h-{label}"] = _value(topt.diffusivity)
             elif o.horizontal_diffusivity is not None:
                 f[f"diffusivity_h-{label}"] = _value(o.horizontal_diffusivity)
-            if topt.source is not None:
+            if topt.source is not None and not callable(topt.source):
+                # callable (state-dependent reaction) sources are
+                # evaluated inside the jitted advance at the current
+                # Picard iterate (see _build_advance)
                 f[f"source-{label}"] = _value(topt.source)
         return f
 
@@ -620,6 +623,10 @@ class FlowSolver2d:
         tracer_only = self.options.tracer_only
         tracer_picard = int(getattr(self.options,
                                     "tracer_picard_iterations", 1) or 1)
+        callable_sources = {
+            l: topt.source for l, topt in self.options.tracer.items()
+            if callable(topt.source)
+        }
         if tracer_picard > 1 and solve_tracer:
             from ..timeintegration.steppers import CrankNicolson as _CN
             if not isinstance(tracer_stepper, _CN):
@@ -689,11 +696,18 @@ class FlowSolver2d:
                 tr0 = {l: state[l] for l in labels}
                 tr = tr0
                 # tracer Picard sweeps re-linearize the semi-implicit
-                # solve at the previous iterate
-                # (ref ``coupled_timeintegrator_2d.py:115-135``)
+                # solve at the previous iterate and re-evaluate any
+                # state-dependent (reaction) sources with it
+                # (ref ``coupled_timeintegrator_2d.py:115-135``; the
+                # gray_scott example is the use case)
                 for i in range(tracer_picard):
+                    tf_i = tf
+                    if callable_sources:
+                        tf_i = dict(tf)
+                        for l, fn in callable_sources.items():
+                            tf_i[f"source-{l}"] = fn(tr)
                     tr = tracer_stepper.advance(
-                        t, tr0, tf, tf, bnd_tr,
+                        t, tr0, tf_i, tf_i, bnd_tr,
                         **({"linearization_state": tr} if i > 0 else {}),
                     )
                     if limiter is not None:
@@ -1155,10 +1169,15 @@ class FlowSolver2d:
             tracer_extra = (
                 self._gather_tracer_fields(state) if self.solve_tracer else {}
             )
-            if self.solve_sediment and self.options.horizontal_diffusivity is not None:
-                tracer_extra["diffusivity_h-sediment_2d"] = _value(
-                    self.options.horizontal_diffusivity
-                )
+            if self.solve_sediment:
+                # sediment-specific diffusivity wins over the global one
+                # (ref SedimentModelOptions.horizontal_diffusivity)
+                sed_diff = (self.options.sediment_model_options
+                            .horizontal_diffusivity
+                            or self.options.horizontal_diffusivity)
+                if sed_diff is not None:
+                    tracer_extra["diffusivity_h-sediment_2d"] = _value(
+                        sed_diff)
             for k in ("uv_2d", "elev_2d"):
                 tracer_extra.pop(k, None)
             bnd_sw = self._gather_bnd("shallow_water")

@@ -913,8 +913,13 @@ class FlowSolver:
         def step(state, swe_fields, bnd_sw):
             # --- 1. barotropic (2D) solve, forced by the depth-averaged
             # 3D momentum tendency (split residual) or, in the legacy
-            # scheme, the depth-averaged internal pressure gradient
+            # scheme, the depth-averaged internal pressure gradient,
+            # plus any user momentum source (ref momentum_source_2d)
             int_pg, src_2d = pre(state)
+            user_src = swe_fields.get("momentum_source_user")
+            if user_src is not None:
+                src_2d = (user_src if src_2d is None
+                          else src_2d + user_src)
             if src_2d is not None:
                 swe_fields = dict(swe_fields)
                 swe_fields["momentum_source"] = src_2d
@@ -999,11 +1004,22 @@ class FlowSolver:
         if o.coriolis_frequency is not None:
             v = o.coriolis_frequency
             out["coriolis"] = v.data if isinstance(v, Function) else jnp.asarray(v)
+        if getattr(o, "momentum_source_2d", None) is not None:
+            v = o.momentum_source_2d
+            from ..utils.constant import Constant
+            if isinstance(v, Constant):
+                v = v.value
+            v = jnp.asarray(v.data if isinstance(v, Function) else v)
+            if v.shape[:1] == (self.mesh2d.nv,):
+                v = v[self.mesh2d.cells]
+            # broadcastable against the (nc, 3, 2) split residual
+            out["momentum_source_user"] = v
         if o.wind_stress is not None:
             v = o.wind_stress
-            out["wind_stress"] = (
-                v.data if isinstance(v, Function) else jnp.asarray(v)
-            )
+            v = jnp.asarray(v.data if isinstance(v, Function) else v)
+            if v.shape[:1] == (self.mesh2d.nv,):
+                v = v[self.mesh2d.cells]  # CG1 -> P1DG cell nodes
+            out["wind_stress"] = v
         if o.horizontal_viscosity is not None:
             v = o.horizontal_viscosity
             out["viscosity_h"] = (

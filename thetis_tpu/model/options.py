@@ -143,6 +143,9 @@ class SedimentModelOptions(FrozenOptions):
         self.bed_reference_height = 0.025
         self.sediment_density = 2650.0
         self.morphological_viscosity = None
+        #: suspended-sediment horizontal diffusivity (ref
+        #: SedimentModelOptions.horizontal_diffusivity)
+        self.horizontal_diffusivity = None
         self.morphological_acceleration_factor = 1.0
         self.porosity = 0.4
         self.slope_effect_parameter = 1.3

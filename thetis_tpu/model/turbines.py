@@ -11,6 +11,7 @@ turbine coordinates — the pyadjoint-based farm optimisation of the
 reference becomes plain ``jax.grad``.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import physical_constants
@@ -274,15 +275,30 @@ def turbine_density_from_coordinates(asm, coordinates, radius):
     p = mesh.coords_np[mesh.cells_np]
     J = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]], axis=2)
     xq = jnp.asarray(p[:, 0][:, None, :] + np.einsum("cij,qj->cqi", J, qp))
-    coords = jnp.asarray(coordinates)  # (nt, 2)
-    unit_bump_integral = 1.45661  # integral of the bump for radius=1
+    coords = jnp.asarray(coordinates, dtype=jnp.result_type(float))  # (nt, 2)
     dx0 = (xq[None, ..., 0] - coords[:, None, None, 0]) / radius
     dx1 = (xq[None, ..., 1] - coords[:, None, None, 1]) / radius
     def psi(d):
         d2 = jnp.minimum(d**2, 1.0 - 1e-12)
         return jnp.where(jnp.abs(d) < 1.0, jnp.exp(1.0 - 1.0 / (1.0 - d2)), 0.0)
     bumps = psi(dx0) * psi(dx1)  # (nt, nc, nq)
-    return bumps.sum(axis=0) / (radius**2 * unit_bump_integral)
+    # normalise each bump by its DISCRETE integral so every turbine
+    # contributes exactly one to the farm count on this mesh+quadrature
+    # (the analytic normalisation 1.45661 r^2 drifts when the bump is
+    # marginally resolved — and the degree-3 triangle rule's negative
+    # centroid weight can even flip the sign of an unresolved bump;
+    # remains differentiable w.r.t. the coordinates)
+    wdetJ = asm.wdetJ  # (nc, nq)
+    integrals = jnp.einsum("tcq,cq->t", bumps, wdetJ)
+    analytic = 1.45661 * radius**2
+    if not isinstance(integrals, jax.core.Tracer) and \
+            bool(jnp.any(integrals < 0.3 * analytic)):
+        raise ValueError(
+            "turbine bump function is not resolved by the mesh "
+            f"(discrete integrals {np.asarray(integrals)} vs analytic "
+            f"{analytic:.3g}); refine the mesh near the turbines"
+        )
+    return (bumps / integrals[:, None, None]).sum(axis=0)
 
 
 class DiscreteTidalTurbineFarm(TidalTurbineFarm):

@@ -94,31 +94,35 @@ def assemble_ring_blocks(linop, in_tail, out_tail, ring, valid, colors,
     """Assemble the 1-ring blocks of a linear operator with nearest-
     neighbour coupling.
 
-    :arg linop: function mapping a stacked probe batch
-        ``(P, nc) + in_tail -> (P, nc) + out_tail`` (i.e. already vmapped
-        over the probe axis)
+    :arg linop: UNBATCHED linear map ``(nc,) + in_tail -> (nc,) + out_tail``
     :arg in_tail/out_tail: dof tail shapes, e.g. ``(9,)`` for the packed
         wave state
     :returns: blocks ``(nc, 4, out_dim, in_dim)`` with flattened tails,
         zeroed on invalid (boundary-mirror) slots
+
+    The probe batch rides the TRAILING axis (``vmap(in_axes=-1)``): the
+    equation machinery's gathers then see one wide row per cell/facet
+    instead of P separate strided gathers — on TPU, gather cost is flat
+    in row width (CLAUDE.md), so the whole probe sweep costs a few
+    residual evaluations rather than P of them.
     """
     in_dim = int(np.prod(in_tail))
     out_dim = int(np.prod(out_tail))
+    P = n_colors * in_dim
     eye = np.eye(in_dim, dtype=np.float32)
-    onehot = (colors[None, :] == np.arange(n_colors)[:, None]).astype(
+    onehot = (colors[:, None] == np.arange(n_colors)[None, :]).astype(
         np.float32
-    )  # (K, nc)
+    )  # (nc, K)
+    # probes[c, j, (k, i)] = onehot[c, k] * eye[j, i]
     probes = (onehot[:, None, :, None] * eye[None, :, None, :]).reshape(
-        (n_colors * in_dim, nc, in_dim)
-    )
-    probes = jnp.asarray(probes.reshape((n_colors * in_dim, nc) + in_tail),
-                         dtype=dtype)
-    Y = linop(probes)  # (K*in_dim, nc) + out_tail
-    Y = Y.reshape(n_colors, in_dim, nc, out_dim)
+        nc, in_dim, P)
+    probes = jnp.asarray(
+        probes.reshape((nc,) + in_tail + (P,)), dtype=dtype)
+    Y = jax.vmap(linop, in_axes=-1, out_axes=-1)(probes)
+    Y = Y.reshape(nc, out_dim, n_colors, in_dim)
     cidx = jnp.asarray(colors[ring])  # (nc, 4)
-    # blocks[c, s, j, o] = Y[color[ring[c,s]], j, c, o]
-    blocks = Y[cidx, :, jnp.arange(nc)[:, None], :]  # (nc, 4, in_dim, out_dim)
-    blocks = jnp.swapaxes(blocks, -1, -2)  # (nc, 4, out_dim, in_dim)
+    # blocks[c, s, o, j] = Y[c, o, color[ring[c, s]], j]
+    blocks = Y[jnp.arange(nc)[:, None], :, cidx, :]  # (nc, 4, out_dim, in_dim)
     return blocks * jnp.asarray(valid, dtype=blocks.dtype)[:, :, None, None]
 
 
@@ -158,7 +162,7 @@ def assemble_affine_operator(F, x0, mesh, dtype=None):
     f0_at_x0, A = jax.linearize(F, x0)
     f0 = f0_at_x0 - A(x0)  # affine: F(0) = F(x0) - A x0
     blocks = assemble_ring_blocks(
-        jax.vmap(A), (d,), (d,), ring, valid, colors, n_colors, nc,
+        A, (d,), (d,), ring, valid, colors, n_colors, nc,
         dtype=dtype or x0.dtype,
     )
     return blocks, f0
@@ -297,7 +301,7 @@ class AssembledWavePC:
         def build_blocks():
             _, W = jax.linearize(wave_system, pack(lin_state))
             return assemble_ring_blocks(
-                jax.vmap(W), (9,), (9,), ring_np, valid_np, colors,
+                W, (9,), (9,), ring_np, valid_np, colors,
                 n_colors, nc, dtype=dtype,
             )
 
