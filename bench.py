@@ -81,14 +81,33 @@ def build_workload_2d(nx, ny, stepper="SSPRK33"):
     else:
         dt = 2.0 * float(mesh.cell_hmin_np.min()) / c  # CFL ~ 25
         from thetis_tpu.solvers.newton import NewtonParameters
+        from thetis_tpu.solvers.assembled import (
+            PackedState, assemble_affine_operator, CoarseCorrection,
+            get_coloring,
+        )
 
         # semi-implicit system is affine + 1-ring local: per-step
-        # assembled-Jacobian KSP (gather+small-matmul matvecs only)
+        # assembled-Jacobian KSP (gather+small-matmul matvecs only) with
+        # a setup-time Galerkin coarse correction (two-level PC)
+        zero = swe_state(jnp.zeros((mesh.nc, 3, 2)), jnp.zeros((mesh.nc, 3)))
+        ps = PackedState(zero)
+
+        def Fw(x):
+            st0 = ps.unpack(x)
+            r = eq.residual("all", st0, zero, fields, fields, {})
+            m = eq.mass_term(st0)
+            return ps.pack(swe_state(m["uv"] - 0.5 * dt * r["uv"],
+                                     m["elev"] - 0.5 * dt * r["elev"]))
+
+        blocks0, _ = jax.jit(
+            lambda x0: assemble_affine_operator(Fw, x0, mesh))(ps.pack(zero))
+        ring, _, _ = get_coloring(mesh)
+        coarse = CoarseCorrection(blocks0, np.asarray(ring), mesh)
         st = get_stepper(
             "CrankNicolson", eq, dt, semi_implicit=True,
-            assembled_solve=True,
-            solver_parameters=NewtonParameters(ksp_rtol=1e-7, ksp_max_it=96,
-                                               gmres_restart=24),
+            assembled_solve=True, coarse=coarse,
+            solver_parameters=NewtonParameters(ksp_rtol=1e-7, ksp_max_it=48,
+                                               gmres_restart=12),
         )
     n_dofs = mesh.nc * 3 * 3
 

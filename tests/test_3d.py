@@ -205,3 +205,31 @@ def test_tracer3d_advection(setup3d):
     cq = a3.cell_values(sol["salt_3d"])
     centroid = float((xq * cq * wq).sum() / (cq * wq).sum())
     assert centroid == pytest.approx(1.5e3 + u0 * 10 * dt, rel=0.05)
+
+
+def test_timeseries_callback_3d():
+    """TimeSeriesCallback3D (ref ``callback.py:728-850``): samples a 3D
+    field at an (x, y, z) station; a linear-in-z field must be recovered
+    exactly at mid-depth."""
+    import jax.numpy as jnp
+    from thetis_tpu.mesh.generation import RectangleMesh
+    from thetis_tpu.fem.functionspace import FunctionSpace, Function
+    from thetis_tpu.model.flowsolver3d import FlowSolver
+    from thetis_tpu.model.callback import TimeSeriesCallback3D
+
+    mesh2d = RectangleMesh(6, 4, 1e3, 6e2)
+    depth = 20.0
+    s = FlowSolver(mesh2d, jnp.asarray(depth), 5)
+    s.options.update(dict(timestep=10.0, simulation_export_time=10.0,
+                          simulation_end_time=10.0, no_exports=True,
+                          solve_temperature=True, solve_salinity=False))
+    s.create_equations()
+    # temp linear in z: T = 15 + 0.2 z
+    sig = np.linspace(-depth, 0.0, 6)
+    zn = np.stack([sig[:-1], sig[1:]], axis=-1)
+    t0 = 15.0 + 0.2 * zn[None, None]
+    s.assign_initial_conditions(temp=jnp.asarray(
+        np.broadcast_to(t0, s.shape3)))
+    cb = TimeSeriesCallback3D(s, ["temp_3d"], 512.0, 333.0, -10.0, "sta")
+    val = float(np.ravel(cb()[0])[0])
+    assert abs(val - (15.0 + 0.2 * -10.0)) < 1e-10, val

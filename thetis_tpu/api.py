@@ -31,6 +31,7 @@ from .model.callback import (
     DiagnosticCallback,
     DetectorsCallback,
     TimeSeriesCallback2D,
+    TimeSeriesCallback3D,
 )
 from .equations.limiter import VertexBasedP1DGLimiter
 
@@ -77,7 +78,8 @@ __all__ = [  # noqa: F822
     "print_output", "set_log_directory", "ModelOptions2d",
     "TracerFieldOptions", "field_metadata", "FieldDict", "AttrDict",
     "solver2d", "FlowSolver2d", "callback", "DiagnosticCallback",
-    "DetectorsCallback", "TimeSeriesCallback2D", "VertexBasedP1DGLimiter",
+    "DetectorsCallback", "TimeSeriesCallback2D", "TimeSeriesCallback3D",
+    "VertexBasedP1DGLimiter",
     "exp", "sqrt", "sin", "cos", "tan", "sinh", "cosh", "tanh", "ln", "pi",
     "conditional", "min_value", "max_value", "dot", "as_vector",
 ]

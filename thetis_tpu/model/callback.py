@@ -23,6 +23,9 @@ __all__ = [
     "MinMaxConservationCallback",
     "DetectorsCallback",
     "TimeSeriesCallback2D",
+    "TimeSeriesCallback3D",
+    "VerticalProfileCallback",
+    "TransectCallback",
 ]
 
 
@@ -375,6 +378,46 @@ class VerticalProfileCallback(DiagnosticCallback):
         return (f"{self.name}: profile range "
                 + " ".join(f"{v.min():.3g}..{v.max():.3g}"
                            for v in args[1:]))
+
+
+class TimeSeriesCallback3D(DiagnosticCallback):
+    """Station time series of 3D fields at an (x, y, z) point
+    (ref ``callback.py:728-850`` ``TimeSeriesCallback3D``): the vertical
+    profile of the containing column is interpolated to the requested z
+    (clamped into the instantaneous water column, like the reference's
+    z-clamping against elevation/bathymetry)."""
+
+    def __init__(self, solver_obj, fieldnames, x, y, z, location_name,
+                 **kwargs):
+        self.fieldnames = list(fieldnames)
+        self.location_name = location_name
+        self.z = float(z)
+        short = "-".join(f.split("_")[0] for f in self.fieldnames)
+        self.name = f"timeseries_{location_name}_{short}"
+        self.variable_names = list(self.fieldnames)
+        super().__init__(solver_obj, array_dim=1, **kwargs)
+        det = DetectorsCallback.__new__(DetectorsCallback)
+        det.solver_obj = solver_obj
+        det._locate(np.asarray([[x, y]], dtype=float))
+        self.cell = int(det.cell_ids[0])
+        self.bary = det.bary[0]
+
+    def __call__(self):
+        vals = []
+        for fname in self.fieldnames:
+            data = np.asarray(self.solver_obj.fields[fname].data)
+            prof, z_if = _profile_at_point(
+                self.solver_obj, data, self.cell, self.bary
+            )
+            if prof.ndim > 1:
+                prof = np.linalg.norm(prof, axis=-1)
+            z_pt = np.clip(self.z, z_if.min(), z_if.max())
+            vals.append(np.interp(z_pt, z_if, prof))
+        return [np.atleast_1d(v) for v in vals]
+
+    def message_str(self, *args):
+        return (f"{self.name}: "
+                + " ".join(f"{float(np.ravel(v)[0]):.4g}" for v in args))
 
 
 class TransectCallback(DiagnosticCallback):

@@ -184,11 +184,18 @@ class FlowSolver2d:
         if o.use_automatic_wetting_and_drying_alpha:
             mesh = self.mesh2d
             b = np.asarray(self.fields.bathymetry_2d.data)
-            if b.shape[:1] != (mesh.nv,):
-                raise NotImplementedError("auto alpha needs CG1 bathymetry")
-            # per-cell P1 gradient of bathymetry
             cells = mesh.cells_np
-            bv = b[cells]  # (nc, 3)
+            if b.ndim == 0:
+                bv = np.full((mesh.nc, 3), float(b))
+            elif b.shape[:1] == (mesh.nv,):
+                bv = b[cells]  # CG1 -> (nc, 3)
+            elif b.shape[:2] == (mesh.nc, 3):
+                # DG bathymetry (e.g. Exner-evolved): per-cell nodal values
+                bv = b[:, :, 0] if b.ndim == 3 else b
+            else:
+                raise ValueError(
+                    f"cannot derive automatic alpha from bathymetry of "
+                    f"shape {b.shape}")
             # grad = Jinv^T @ dphi^T b, dphi rows [-1,-1],[1,0],[0,1]
             gref = np.stack([bv[:, 1] - bv[:, 0], bv[:, 2] - bv[:, 0]], axis=1)
             grad = np.einsum("cj,cji->ci", gref, mesh.Jinv_np)
@@ -359,6 +366,41 @@ class FlowSolver2d:
             and getattr(self.asm, "ndofs", None) == 3
         )
 
+    def _build_coarse(self, coeff):
+        """Setup-time Galerkin coarse correction for the assembled
+        implicit-SWE KSP: rest-state wave-Jacobian blocks are aggregated
+        and the coarse matrix densely inverted once.  Makes the per-step
+        KSP iteration count O(10) at any implicit wave CFL (the grid-
+        scalable component block-Jacobi lacks)."""
+        from ..solvers.assembled import (
+            PackedState, assemble_affine_operator, CoarseCorrection,
+            get_coloring,
+        )
+
+        eq = self.eq_sw
+        zero = {
+            "uv": jnp.zeros_like(self.fields.uv_2d.data),
+            "elev": jnp.zeros_like(self.fields.elev_2d.data),
+        }
+        ps = PackedState(zero)
+        bnd_zero = {
+            m: {k: 0.0 for k in keys}
+            for m, keys in getattr(eq, "bnd_keys", {}).items()
+        }
+
+        def F(x):
+            st = ps.unpack(x)
+            r = eq.residual("all", st, zero, {}, {}, bnd_zero)
+            m = eq.mass_term(st)
+            return ps.pack({"uv": m["uv"] - coeff * r["uv"],
+                            "elev": m["elev"] - coeff * r["elev"]})
+
+        blocks, _ = jax.jit(
+            lambda x0: assemble_affine_operator(F, x0, eq.mesh)
+        )(ps.pack(zero))
+        ring, _, _ = get_coloring(eq.mesh)
+        return CoarseCorrection(blocks, np.asarray(ring), eq.mesh)
+
     def _swe_preconditioner(self, choice, theta):
         """Resolve the implicit-SWE preconditioner choice.
 
@@ -412,17 +454,25 @@ class FlowSolver2d:
             spp = getattr(sp, "solver_parameters", None)
             if name == "CrankNicolson":
                 kw["theta"] = float(getattr(sp, "implicitness_theta", 0.5))
-            if name in ("CrankNicolson", "BackwardEuler"):
-                choice = getattr(sp, "preconditioner", None)
-                if kw["semi_implicit"] and self._assembled_eligible(choice):
-                    # semi-implicit SWE system is affine + 1-ring local:
-                    # assemble the exact per-step Jacobian and run the
-                    # whole KSP on it (PETSc assembled-Jacobian analogue)
-                    kw["assembled_solve"] = True
-                else:
-                    kw["preconditioner"] = self._swe_preconditioner(
-                        choice, theta=kw.get("theta", 1.0),
-                    )
+            choice = getattr(sp, "preconditioner", None)
+            if kw["semi_implicit"] and self._assembled_eligible(choice):
+                # semi-implicit SWE systems are affine + 1-ring local:
+                # assemble the exact per-step/stage Jacobian and run the
+                # whole KSP on it (PETSc assembled-Jacobian analogue),
+                # two-level preconditioned (coarse built once at setup)
+                kw["assembled_solve"] = True
+                if name == "CrankNicolson":
+                    coeff = kw.get("theta", 0.5) * self.dt
+                elif name == "BackwardEuler":
+                    coeff = self.dt
+                else:  # stiffly accurate DIRK: constant diagonal a_ii
+                    from ..timeintegration.rungekutta import SCHEMES
+                    coeff = float(SCHEMES[name]().a[-1][-1]) * self.dt
+                kw["coarse"] = self._build_coarse(coeff)
+            elif name in ("CrankNicolson", "BackwardEuler"):
+                kw["preconditioner"] = self._swe_preconditioner(
+                    choice, theta=kw.get("theta", 1.0),
+                )
             if isinstance(spp, NewtonParameters):
                 kw["solver_parameters"] = spp
             elif kw.get("assembled_solve"):

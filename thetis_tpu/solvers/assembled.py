@@ -45,7 +45,8 @@ import jax.numpy as jnp
 
 __all__ = ["AssembledWavePC", "cell_ring", "distance2_coloring",
            "assemble_ring_blocks", "ring_apply", "get_coloring",
-           "assemble_affine_operator", "ring_gmres", "PackedState"]
+           "assemble_affine_operator", "ring_gmres", "PackedState",
+           "batched_inv_small", "aggregate_cells", "CoarseCorrection"]
 
 _WAVE = frozenset(["ExternalPressureGradientTerm", "HUDivTerm"])
 
@@ -132,6 +133,83 @@ def ring_apply(blocks, ring, x):
     return jnp.einsum("csoj,csj->co", blocks, xg)
 
 
+def batched_inv_small(A):
+    """Batched small-matrix inverse by pivotless Gauss-Jordan.
+
+    XLA's batched ``linalg.inv`` lowers to a LAPACK-style loop that is
+    very slow on TPU (a batched 6x6 inverse measured 65 ms on v5e,
+    CLAUDE.md); d elimination sweeps of elementwise (n, d, d) ops run in
+    microseconds instead.  Pivotless is safe here: the blocks are
+    theta-weighted mass + jump-penalty matrices whose diagonal stays
+    positive and dominant."""
+    n, d, _ = A.shape
+    M = jnp.concatenate([A, jnp.broadcast_to(jnp.eye(d, dtype=A.dtype),
+                                             A.shape)], axis=-1)
+
+    def sweep(k, M):
+        piv = M[:, k, :] / M[:, k, k][:, None]          # (n, 2d)
+        factors = M[:, :, k]                            # (n, d)
+        M = M - factors[:, :, None] * piv[:, None, :]
+        return M.at[:, k, :].set(piv)
+
+    M = jax.lax.fori_loop(0, d, sweep, M)
+    return M[:, :, d:]
+
+
+def aggregate_cells(mesh, target_size=96):
+    """Geometric aggregation of cells into contiguous patches (the
+    coarse space of the two-level preconditioner): bin cell centroids
+    into a rectangular grid sized for ~``target_size`` cells per
+    aggregate.  Returns (agg_ids (nc,), n_agg)."""
+    mids = np.asarray(mesh.coords_np)[np.asarray(mesh.cells_np)].mean(axis=1)
+    nc = mids.shape[0]
+    n_agg_target = max(1, nc // int(target_size))
+    lo, hi = mids.min(0), mids.max(0)
+    ext = np.maximum(hi - lo, 1e-12)
+    aspect = ext[0] / ext[1]
+    nbx = max(1, int(round(np.sqrt(n_agg_target * aspect))))
+    nby = max(1, int(round(n_agg_target / nbx)))
+    ix = np.minimum((mids[:, 0] - lo[0]) / ext[0] * nbx, nbx - 1e-9).astype(int)
+    iy = np.minimum((mids[:, 1] - lo[1]) / ext[1] * nby, nby - 1e-9).astype(int)
+    raw = ix * nby + iy
+    # compress empty bins
+    uniq, agg = np.unique(raw, return_inverse=True)
+    return agg.astype(np.int32), len(uniq)
+
+
+class CoarseCorrection:
+    """Galerkin coarse correction for an assembled 1-ring operator.
+
+    The coarse space is piecewise-constant per (aggregate, packed dof
+    component): P injects coarse dofs to cells, A_c = P^T A P is formed
+    from the 1-ring blocks on the host ONCE at setup and inverted
+    densely; each application is a segment-sum restriction, one dense
+    (MXU) matvec and a gather prolongation — this is the grid-scalable
+    component the one-level block-Jacobi smoother lacks (iterations of
+    smoothed GMRES grow ~linearly with the implicit wave CFL without it).
+    """
+
+    def __init__(self, blocks, ring, mesh, target_size=96):
+        agg, n_agg = aggregate_cells(mesh, target_size)
+        nc, _, d, _ = blocks.shape
+        self.agg = jnp.asarray(agg)
+        self.n_agg = n_agg
+        self.d = d
+        b_np = np.asarray(blocks, dtype=np.float64)
+        ring_np = np.asarray(ring)
+        A_c = np.zeros((n_agg, d, n_agg, d))
+        # A_c[I, :, J, :] += blocks[c, s] for agg[c] = I, agg[ring[c,s]] = J
+        np.add.at(A_c, (agg[:, None], slice(None), agg[ring_np]), b_np)
+        A_c = A_c.reshape(n_agg * d, n_agg * d)
+        self.Ac_inv = jnp.asarray(np.linalg.inv(A_c), dtype=blocks.dtype)
+
+    def __call__(self, r):
+        """r (nc, d) -> coarse-corrected increment (nc, d)."""
+        r_c = jax.ops.segment_sum(r, self.agg, num_segments=self.n_agg)
+        z_c = (self.Ac_inv @ r_c.reshape(-1)).reshape(self.n_agg, self.d)
+        return z_c[self.agg]
+
+
 def get_coloring(mesh):
     """Cached (ring, valid, colors) tables for a mesh."""
     cached = getattr(mesh, "_ring_coloring", None)
@@ -169,25 +247,40 @@ def assemble_affine_operator(F, x0, mesh, dtype=None):
 
 
 def ring_gmres(blocks, ring, b, diag_inv=None, rtol=1e-5, restart=24,
-               max_cycles=4):
+               max_cycles=4, coarse=None):
     """Solve ``A x = b`` for an assembled 1-ring operator with restarted
     GMRES, right-preconditioned by block-Jacobi (inverted diagonal
-    blocks).  Every iteration is one gather + one batched contraction —
-    the KSP loop never touches the residual machinery (cf. PETSc KSP on
-    the assembled Jacobian, the reference's 2D default
+    blocks), optionally wrapped in a two-level V-cycle with a
+    :class:`CoarseCorrection`.  Every iteration is gathers + batched
+    contractions — the KSP loop never touches the residual machinery
+    (cf. PETSc KSP on the assembled Jacobian, the reference's 2D default
     ``options.py:44-48``)."""
     from .newton import _fgmres_flat
 
     nc, _, d, _ = blocks.shape
     if diag_inv is None:
-        diag_inv = jnp.linalg.inv(blocks[:, 0])
+        diag_inv = batched_inv_small(blocks[:, 0])
 
     def mv(v):
         return ring_apply(blocks, ring, v.reshape(nc, d)).reshape(-1)
 
-    def M(v):
-        return jnp.einsum("cij,cj->ci", diag_inv,
-                          v.reshape(nc, d)).reshape(-1)
+    def bjac(r):
+        return jnp.einsum("cij,cj->ci", diag_inv, r)
+
+    if coarse is None:
+        def M(v):
+            return bjac(v.reshape(nc, d)).reshape(-1)
+    else:
+        def M(v):
+            # multiplicative two-level V-cycle: smooth, coarse-correct,
+            # smooth — iteration counts stay O(10) at any wave CFL
+            r = v.reshape(nc, d)
+            z = bjac(r)
+            r2 = r - ring_apply(blocks, ring, z)
+            z = z + coarse(r2)
+            r3 = r - ring_apply(blocks, ring, z)
+            z = z + bjac(r3)
+            return z.reshape(-1)
 
     x, rnorm, bnorm = _fgmres_flat(mv, b.reshape(-1), M, rtol, restart,
                                    max_cycles)

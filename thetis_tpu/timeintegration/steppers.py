@@ -106,7 +106,7 @@ class CrankNicolson(TimeIntegrator):
     def __init__(self, equation, dt, options=None, theta=0.5,
                  semi_implicit=False, solver_parameters=None,
                  preconditioner="mass", schur_inner_iterations=10,
-                 assembled_solve=False):
+                 assembled_solve=False, coarse=None):
         super().__init__(equation, dt, options)
         self.theta = float(theta)
         self.semi_implicit = semi_implicit
@@ -120,6 +120,8 @@ class CrankNicolson(TimeIntegrator):
         #: PETSc's assembled-Jacobian KSP (the reference's 2D default,
         #: ref ``options.py:44-48``)
         self.assembled_solve = bool(assembled_solve) and semi_implicit
+        #: optional setup-time CoarseCorrection for the assembled KSP
+        self.coarse = coarse
         self.params = solver_parameters or NewtonParameters()
         if semi_implicit:
             # Picard linearisation: one linear solve per step, terms are
@@ -170,6 +172,7 @@ class CrankNicolson(TimeIntegrator):
                 max_cycles=max(
                     1, self.params.ksp_max_it // self.params.gmres_restart
                 ),
+                coarse=self.coarse,
             )
             return ps.unpack(x)
 
@@ -258,8 +261,10 @@ class DIRKUForm(TimeIntegrator):
     BackwardEuler/DIRK22/DIRK33 steppers, ``solver2d.py:666-668``)."""
 
     def __init__(self, equation, dt, scheme="DIRK22", options=None,
-                 semi_implicit=False, solver_parameters=None):
+                 semi_implicit=False, solver_parameters=None,
+                 assembled_solve=False, coarse=None):
         super().__init__(equation, dt, options)
+        self.coarse = coarse
         tb = SCHEMES[scheme]()
         assert tb.is_dirk
         assert np.allclose(tb.a[-1], tb.b), \
@@ -268,6 +273,9 @@ class DIRKUForm(TimeIntegrator):
         self.n_stages = tb.n_stages
         self.cfl_coeff = tb.cfl_coeff
         self.semi_implicit = semi_implicit
+        #: per-stage assembled-Jacobian KSP (see CrankNicolson) — the
+        #: semi-implicit stage systems are affine with 1-ring sparsity
+        self.assembled_solve = bool(assembled_solve) and semi_implicit
         self.params = solver_parameters or NewtonParameters()
         if semi_implicit:
             self.params.snes_max_it = 1
@@ -294,8 +302,29 @@ class DIRKUForm(TimeIntegrator):
                     [(1.0, eq.mass_term(u)), (-dt * aii, r), (1.0, known)]
                 )
 
-            u_i = newton_solve(F, u_i, precond=eq.mass_inverse,
-                               params=self.params)
+            if self.assembled_solve:
+                from ..solvers.assembled import (
+                    PackedState, assemble_affine_operator, ring_gmres,
+                    get_coloring,
+                )
+
+                ps = PackedState(u_i)
+                blocks, f0 = assemble_affine_operator(
+                    lambda x: ps.pack(F(ps.unpack(x))), ps.pack(u_i),
+                    eq.mesh,
+                )
+                ring, _, _ = get_coloring(eq.mesh)
+                u_i = ps.unpack(ring_gmres(
+                    blocks, jnp.asarray(ring), -f0,
+                    rtol=self.params.ksp_rtol,
+                    restart=self.params.gmres_restart,
+                    max_cycles=max(1, self.params.ksp_max_it
+                                   // self.params.gmres_restart),
+                    coarse=self.coarse,
+                ))
+            else:
+                u_i = newton_solve(F, u_i, precond=eq.mass_inverse,
+                                   params=self.params)
             if i < self.n_stages - 1:
                 u_nl = solution if self.semi_implicit else u_i
                 r_stages.append(
