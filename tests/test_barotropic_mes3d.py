@@ -9,6 +9,11 @@ return to the initial condition with an L2 error converging at order 2
 This exercises the full split_residual 2D<->3D coupling path
 (ref ``coupled_timeintegrator.py:43-71``, ``shallowwater_eq.py:931-976``).
 """
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 from scipy import stats

@@ -2,6 +2,11 @@
 mirroring the reference's ``test/time_integration/test_convergence_ode.py``
 (a pure-ODE problem built from custom terms; expected orders asserted
 within a tolerance)."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

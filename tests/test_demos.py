@@ -1,5 +1,10 @@
 """Demo regression runs (reference ``demos/`` parity): each demo runs in
 shortened THETIS_REGRESSION_TEST mode and its physics sanity-checks."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import runpy
 
 import numpy as np

@@ -1,6 +1,11 @@
 """Run every example script under THETIS_REGRESSION_TEST (the reference's
 ``test/examples/test_examples.py`` pattern: scripts shorten themselves when
 the env flag is set)."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import glob
 import os
 import runpy

@@ -6,6 +6,11 @@ sigma-coordinate chain rule is exercised — the classic terrain-following
 pressure-gradient error source), the computed baroclinic head and
 internal pressure gradient must converge to the analytic values at the
 P1DG rate."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import math
 
 import numpy as np

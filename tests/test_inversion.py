@@ -4,6 +4,11 @@ with a known Manning friction field, then invert it from a wrong initial
 guess.  Asserts the cost drops by >10x, the recovered control moves toward
 the truth, and the gradient passes consistency + Taylor tests (the
 reference requires Taylor rate > 1.9)."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

@@ -14,6 +14,11 @@ vertical viscosity solve, GLS k-psi column physics with Canuto-A
 stability functions, buoyancy damping from the salt-stratified density
 field, and the mode-split barotropic coupling on a periodic channel.
 """
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 

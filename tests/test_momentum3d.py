@@ -2,6 +2,11 @@
 spurious tendency away from walls), internal-pressure-gradient-driven
 baroclinic adjustment (lock-exchange direction check), and the implicit
 vertical viscosity column solve."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 from types import SimpleNamespace
 
 import numpy as np

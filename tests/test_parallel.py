@@ -3,6 +3,11 @@
 10): the shard_map halo-exchange tracer operator must match the serial
 operator to machine precision, and the GSPMD-sharded SWE step must match
 the single-device step."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 from types import SimpleNamespace
 
 import numpy as np

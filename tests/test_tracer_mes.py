@@ -2,6 +2,11 @@
 ``test/tracerEq/test_h-advection_mes.py`` / ``test_h-diffusion_mes.py``:
 run the same setup at refinements, fit the log-log error slope, assert the
 expected order within the reference's slope tolerance (0.2 relative)."""
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 from types import SimpleNamespace
 
 import jax

@@ -6,6 +6,11 @@ The icosahedral SphereMesh + RT1 x P0 pair must hold the steady state:
 after one day the elevation error relative to the analytic balance stays
 small and decreases under refinement; total volume is conserved exactly.
 """
+import pytest as _pytest
+
+#: long-running integration tier: run with `pytest -m slow`
+pytestmark = _pytest.mark.slow
+
 import math
 
 import numpy as np

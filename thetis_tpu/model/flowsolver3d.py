@@ -409,8 +409,11 @@ class FlowSolver:
         assembled = str(o.barotropic_preconditioner) in (
             "assembled_schur", "assembled")
         if assembled:
+            # short restart: the mode-split wave CFL is O(1), the KSP
+            # typically converges within one 8-iteration cycle, and the
+            # while-loop exits between cycles (kernel-latency bound)
             default_params = NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
-                                              gmres_restart=16)
+                                              gmres_restart=8)
         else:
             default_params = NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
                                               gmres_restart=24)
