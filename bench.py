@@ -102,7 +102,7 @@ def build_workload_2d(nx, ny, stepper="SSPRK33"):
         blocks0, _ = jax.jit(
             lambda x0: assemble_affine_operator(Fw, x0, mesh))(ps.pack(zero))
         ring, _, _ = get_coloring(mesh)
-        coarse = CoarseCorrection(blocks0, np.asarray(ring), mesh)
+        coarse = CoarseCorrection(blocks0, np.asarray(ring), mesh)  # auto-sized coarse dim
         st = get_stepper(
             "CrankNicolson", eq, dt, semi_implicit=True,
             assembled_solve=True, coarse=coarse,

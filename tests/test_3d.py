@@ -233,3 +233,46 @@ def test_timeseries_callback_3d():
     cb = TimeSeriesCallback3D(s, ["temp_3d"], 512.0, 333.0, -10.0, "sta")
     val = float(np.ravel(cb()[0])[0])
     assert abs(val - (15.0 + 0.2 * -10.0)) < 1e-10, val
+
+
+def test_tracer3d_value_bc_inflow():
+    """3D tracer 'value' boundary condition (ref ``tracer_eq.py:171-189``):
+    inflow through an open boundary carries the prescribed external
+    salinity into the domain; outflow still uses the internal value."""
+    import jax.numpy as jnp
+    from thetis_tpu.mesh.generation import RectangleMesh
+    from thetis_tpu.fem.functionspace import FunctionSpace, Function
+    from thetis_tpu.model.flowsolver3d import FlowSolver
+    from thetis_tpu.utils.constant import Constant
+
+    lx, ly, nz = 10e3, 2e3, 4
+    mesh2d = RectangleMesh(10, 2, lx, ly)
+    depth = 10.0
+    s = FlowSolver(mesh2d, jnp.asarray(depth), nz)
+    s.options.update(dict(
+        timestep=50.0, simulation_export_time=2500.0,
+        simulation_end_time=2500.0, no_exports=True,
+        solve_temperature=False, solve_salinity=True,
+        use_baroclinic_formulation=False,
+        use_implicit_vertical_diffusion=False, use_bottom_friction=False,
+        use_limiter_for_tracers=True,
+    ))
+    # inflow at x=0 (marker 1) with salt 30; outflow at x=lx (marker 2)
+    flux = ly * depth * 0.5
+    s.bnd_functions["shallow_water"] = {
+        1: {"flux": Constant(-flux)},
+        2: {"flux": Constant(flux)},
+    }
+    s.bnd_functions["salt"] = {1: {"value": 30.0}}
+    s.options.constant_salinity = 35.0
+    s.assign_initial_conditions(uv=jnp.asarray([0.5, 0.0]))
+    s.iterate()
+    salt = np.asarray(s.fields.salt_3d.data)
+    assert np.isfinite(salt).all()
+    x_dof = mesh2d.coords_np[mesh2d.cells_np][..., 0]
+    inflow_side = salt[x_dof < 2e3]
+    outflow_side = salt[x_dof > 8e3]
+    # after 2500 s at 0.5 m/s the 30-psu front has crossed ~1.25 km
+    assert inflow_side.min() < 31.0, inflow_side.min()
+    assert outflow_side.mean() > 34.5, outflow_side.mean()
+    assert salt.min() > 29.7 and salt.max() < 35.1

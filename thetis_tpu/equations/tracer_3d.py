@@ -84,10 +84,32 @@ class TracerEquation3D(EquationBase):
             B["vfacet"].add(
                 jnp.stack([gamma * jmp, -gamma * jmp], axis=1) * mi[:, None]
             )
-        # boundary: outflow of the internal value (the reference applies
-        # this on every exterior facet without explicit tracer BCs,
-        # ref tracer_eq.py:171-189)
-        fl = c0 * un0 * self.mask_bnd.reshape(-1, 1, 1, 1)
+        # boundary: outflow of the internal value; where a 'value' BC is
+        # prescribed the upwinded external tracer enters on inflow
+        # (ref ``tracer_eq.py:171-189``)
+        c_ext = c0
+        bnd_values = c.get("bnd_values") or {}
+        for m in self.open_markers:
+            keys = self.bnd_keys.get(m)
+            if keys is None or ("value" not in keys
+                                and f"value-{self.label}" not in keys):
+                continue
+            key = (f"value-{self.label}"
+                   if f"value-{self.label}" in keys else "value")
+            if key not in bnd_values.get(m, {}):
+                # no value supplied this evaluation (e.g. the uniform-
+                # field consistency drift): keep the internal upwind
+                continue
+            val = jnp.asarray(bnd_values[m][key])
+            if val.ndim >= 3:  # full 3D dof field (nc, 3, nz, 2)
+                v_m = self.asm3d.facet_traces(val)[:, 0]
+            else:
+                v_m = jnp.broadcast_to(val, c0.shape)
+            mk = self.marker_masks[m].reshape(-1, 1, 1, 1)
+            c_ext = jnp.where(mk > 0, v_m, c_ext)
+        s0 = 0.5 * (jnp.sign(un0) + 1.0)
+        c_up_b = c0 * s0 + c_ext * (1 - s0)
+        fl = c_up_b * un0 * self.mask_bnd.reshape(-1, 1, 1, 1)
         B["vfacet"].add(jnp.stack([-fl, jnp.zeros_like(fl)], axis=1))
 
     def _t_vadv(self, c, B):
@@ -163,6 +185,7 @@ class TracerEquation3D(EquationBase):
                  bnd_values, geom=None):
         assert geom is not None
         c = self.build_context(solution, fields, geom)
+        c["bnd_values"] = bnd_values
         c["_dofs"] = solution[self.label]
         B = {k: Bucket() for k in (
             "cell", "grad", "gradz", "vfacet", "hfacet_below", "hfacet_above"

@@ -194,11 +194,17 @@ class FlowSolver:
             ),
         )
         self.depth = self.eq_sw.depth
-        self.eq_momentum = MomentumEquation3D(self.mesh2d, self.asm3d, o)
+        bnd = getattr(self, "bnd_functions", {})
+        self.eq_momentum = MomentumEquation3D(
+            self.mesh2d, self.asm3d, o,
+            bnd_conditions=bnd.get("momentum") or None,
+        )
         self.eq_salt = TracerEquation3D(self.mesh2d, self.asm3d, o,
-                                        label="salt_3d")
+                                        label="salt_3d",
+                                        bnd_conditions=bnd.get("salt") or None)
         self.eq_temp = TracerEquation3D(self.mesh2d, self.asm3d, o,
-                                        label="temp_3d")
+                                        label="temp_3d",
+                                        bnd_conditions=bnd.get("temp") or None)
         if o.equation_of_state_type == "full":
             self.equation_of_state = JackettEquationOfState()
         else:
@@ -548,8 +554,26 @@ class FlowSolver:
 
             return jax.vmap(one, in_axes=-1, out_axes=-1)(cp)
 
+        # 3D boundary values (momentum 'uv'/'un'/'symm', tracer 'value'):
+        # captured once at build time as closure constants (static-valued;
+        # the 2D tide carries the time dependence in the mode-split design)
+        def _bnd3(which):
+            from .flowsolver2d import _value
+            return {
+                int(m): {k: _value(v) for k, v in spec.items()}
+                for m, spec in (self.bnd_functions.get(which) or {}).items()
+            }
+
+        bnd_mom = _bnd3("momentum")
+        bnd_salt = _bnd3("salt")
+        bnd_temp = _bnd3("temp")
+        tracer_bnds = {"salt_3d": bnd_salt, "temp_3d": bnd_temp}
+        # the packed multi-tracer fast path assumes identical (empty)
+        # tracer BCs; per-tracer boundary values take the unpacked path
+        use_packed = not (bnd_salt or bnd_temp)
+
         def ale_combine(eq, key, u0, u_eval, fields, geom0, geom_eval,
-                        geom_new, a, b, consistency_fix=False):
+                        geom_new, a, b, consistency_fix=False, bnd=None):
             """Generalized ALE stage (ref SSPRK22ALE,
             ``timeintegrator.py:609-770``):
 
@@ -565,9 +589,10 @@ class FlowSolver:
             uniform on the moving mesh
             (``test/tracerEq/test_consistency.py`` analogue)."""
 
-            def raw(u0v, uev, label="all"):
+            def raw(u0v, uev, label="all", bnd_r=None):
                 r = eq.residual(label, {key: uev}, {key: uev}, fields,
-                                fields, {}, geom=geom_eval)
+                                fields, bnd_r if bnd_r is not None
+                                else (bnd or {}), geom=geom_eval)
                 acc = b * (eq.mass_term({key: uev}, geom_eval)[key]
                            + dt * r[key])
                 if a != 0.0:
@@ -576,15 +601,18 @@ class FlowSolver:
 
             out = raw(u0, u_eval)
             if consistency_fix:
+                # the uniform-field drift must see the boundary with the
+                # internal (upwind) value — a prescribed tracer 'value'
+                # BC would leak the external value into the drift
                 ones = jnp.ones_like(u0)
-                drift = raw(ones, ones, label=_ADV_TERMS) - 1.0
+                drift = raw(ones, ones, label=_ADV_TERMS, bnd_r={}) - 1.0
                 out = out - u0 * drift
             return out
 
         lf_gamma = 1.0 / 12.0
 
         def lf_advance(eq, key, u0, u_prev, fields, geom_old, geom_new,
-                       consistency_fix=False):
+                       consistency_fix=False, bnd=None):
             """LeapFrogAM3 ALE step (ref ``timeintegrator.py:467-607``,
             Shchepetkin & McWilliams ROMS kernel):
 
@@ -598,9 +626,10 @@ class FlowSolver:
             b = 0.5 + 2 * lf_gamma
             cc = 1.0 - 2 * lf_gamma
 
-            def predict(u0v, upv, label="all"):
+            def predict(u0v, upv, label="all", bnd_r=None):
                 r = eq.residual(label, {key: u0v}, {key: u0v}, fields,
-                                fields, {}, geom=geom_old)
+                                fields, bnd_r if bnd_r is not None
+                                else (bnd or {}), geom=geom_old)
                 k = eq.mass_inverse({key: r[key]}, geom_old)[key]
                 return a * upv + b * u0v + dt * cc * k
 
@@ -608,11 +637,12 @@ class FlowSolver:
             if consistency_fix:
                 ones = jnp.ones_like(u0)
                 u_half = u_half - u0 * (
-                    predict(ones, ones, label=_ADV_TERMS) - 1.0)
+                    predict(ones, ones, label=_ADV_TERMS, bnd_r={}) - 1.0)
 
-            def correct(u0v, uhv, label="all"):
+            def correct(u0v, uhv, label="all", bnd_r=None):
                 r = eq.residual(label, {key: uhv}, {key: uhv}, fields,
-                                fields, {}, geom=geom_old)
+                                fields, bnd_r if bnd_r is not None
+                                else (bnd or {}), geom=geom_old)
                 m0 = eq.mass_term({key: u0v}, geom_old)[key]
                 return eq.mass_inverse({key: m0 + dt * r[key]},
                                        geom_new)[key]
@@ -621,13 +651,14 @@ class FlowSolver:
             if consistency_fix:
                 ones = jnp.ones_like(u0)
                 u1 = u1 - u0 * (
-                    correct(ones, ones, label=_ADV_TERMS) - 1.0)
+                    correct(ones, ones, label=_ADV_TERMS, bnd_r={}) - 1.0)
             return u1
 
         limiter = getattr(self, "tracer_limiter", None)
 
         def ale_advance(eq, key, u0, fields, geom_old, geom_new,
-                        consistency_fix=False, u_prev=None, limit=False):
+                        consistency_fix=False, u_prev=None, limit=False,
+                        bnd=None):
             """Advance one 3D field over the step: a single forward ALE
             stage, the two-stage SSPRK22 ALE predictor/corrector
             (ref ``coupled_timeintegrator.py`` CoupledTwoStageRK) when
@@ -640,16 +671,17 @@ class FlowSolver:
             if leapfrog:
                 return lim(lf_advance(
                     eq, key, u0, u_prev, fields, geom_old, geom_new,
-                    consistency_fix=consistency_fix))
+                    consistency_fix=consistency_fix, bnd=bnd))
             u1 = ale_combine(eq, key, u0, u0, fields, geom_old, geom_old,
                              geom_new, 0.0, 1.0,
-                             consistency_fix=consistency_fix)
+                             consistency_fix=consistency_fix, bnd=bnd)
             u1 = lim(u1)
             if not two_stage:
                 return u1
             return lim(ale_combine(eq, key, u0, u1, fields, geom_old,
                                    geom_new, geom_new, 0.5, 0.5,
-                                   consistency_fix=consistency_fix))
+                                   consistency_fix=consistency_fix,
+                                   bnd=bnd))
 
         def pack_fix(cp_out, cp0, limit):
             """Post-stage packed consistency fix: subtract the uniform-
@@ -773,7 +805,8 @@ class FlowSolver:
             uv_new = ale_advance(eq_mom, "uv_3d", uv_total, fields3,
                                  geom0, geom,
                                  u_prev=state.get("uv_lf_old"),
-                                 limit=o.use_limiter_for_velocity)
+                                 limit=o.use_limiter_for_velocity,
+                                 bnd=bnd_mom)
             if leapfrog:
                 new_state_lf_uv = uv_total
 
@@ -789,7 +822,7 @@ class FlowSolver:
                 new_state["uv_lf_old"] = new_state_lf_uv
             tracer_keys = ([k for k, on in (("salt_3d", solve_salt),
                                             ("temp_3d", solve_temp)) if on])
-            if tracer_keys:
+            if tracer_keys and use_packed:
                 ones = jnp.ones_like(state[tracer_keys[0]])
                 cp0 = jnp.stack([state[k] for k in tracer_keys] + [ones],
                                 axis=-1)
@@ -803,6 +836,20 @@ class FlowSolver:
                                       limit=o.use_limiter_for_tracers)
                 for i, k in enumerate(tracer_keys):
                     new_state[k] = cp_new[..., i]
+                    if leapfrog:
+                        new_state[k.replace("_3d", "_lf_old")] = state[k]
+            elif tracer_keys:
+                # per-tracer path: boundary 'value' conditions differ
+                # between tracers, so each advects separately
+                eqs = {"salt_3d": eq_salt, "temp_3d": eq_temp}
+                for k in tracer_keys:
+                    new_state[k] = ale_advance(
+                        eqs[k], k, state[k], tr_fields, geom0, geom,
+                        consistency_fix=True,
+                        u_prev=state.get(k.replace("_3d", "_lf_old")),
+                        limit=o.use_limiter_for_tracers,
+                        bnd=tracer_bnds[k],
+                    )
                     if leapfrog:
                         new_state[k.replace("_3d", "_lf_old")] = state[k]
 

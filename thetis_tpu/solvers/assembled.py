@@ -189,7 +189,14 @@ class CoarseCorrection:
     smoothed GMRES grow ~linearly with the implicit wave CFL without it).
     """
 
-    def __init__(self, blocks, ring, mesh, target_size=96):
+    def __init__(self, blocks, ring, mesh, target_size=None):
+        nc_total, _, d0, _ = blocks.shape
+        if target_size is None:
+            # cap the coarse dimension at ~2048 so the dense inverse stays
+            # a small graph constant (the remote TPU compiler rejects
+            # multi-hundred-MB embedded constants) while the aggregate
+            # diameter grows with the mesh
+            target_size = max(64, int(np.ceil(nc_total * d0 / 2048.0)))
         agg, n_agg = aggregate_cells(mesh, target_size)
         nc, _, d, _ = blocks.shape
         self.agg = jnp.asarray(agg)
