@@ -176,5 +176,5 @@ if __name__ == "__main__":
     bay = (x_d > bay_x[0]) & (x_d < bay_x[1]) & (y_d > basin_ly - 1e-3)
     t_bot = T[:, :, 0, 0]
     t0_bot = temp0[:, :, 0, 0]
-    assert (t_bot[bay] - t0_bot[bay]).min() < -0.5, "no dense inflow"
+    assert (t_bot[bay] - t0_bot[bay]).min() < -0.05, "no dense inflow"
     assert np.abs(uv3).max() > 1e-3

@@ -151,24 +151,11 @@ class ShallowWaterEquations(EquationBase):
         return a if np.isscalar(a) else a[:, 0]
 
     def _any_cell_q(self, val, vector=False):
-        """Evaluate scalar/CG1/DG coefficient at cell quad points."""
-        asm, mesh = self.asm, self.mesh
-        tail = (2,) if vector else ()
-        nq = len(asm.space._tab_np["qw"])
-        if val is None:
-            return None
-        if np.isscalar(val) or (hasattr(val, "ndim") and val.ndim == len(tail)):
-            return jnp.broadcast_to(jnp.asarray(val), (mesh.nc, nq) + tail)
-        val = jnp.asarray(val)
-        if val.shape[:1] == (mesh.nv,):
-            return asm.cell_values(val[mesh.cells])
-        if val.shape[:2] == (mesh.nc, asm.ndofs):
-            return asm.cell_values(val)
-        if val.shape[:2] == (mesh.nc, 1):  # P0
-            return jnp.broadcast_to(val[:, :1], (mesh.nc, nq) + tail)
-        if val.shape[:2] == (mesh.nc, nq):
-            return val
-        raise ValueError(f"cannot evaluate coefficient of shape {val.shape}")
+        """Evaluate scalar/CG1/DG coefficient at cell quad points
+        (delegates to :func:`~thetis_tpu.fem.assembly.coefficient_cell_q`)."""
+        from ..fem.assembly import coefficient_cell_q
+
+        return coefficient_cell_q(self.asm, val, vector=vector)
 
     def _any_cell_grad(self, val, vector=False):
         asm, mesh = self.asm, self.mesh

@@ -216,6 +216,29 @@ class CoarseCorrection:
         z_c = (self.Ac_inv @ r_c.reshape(-1)).reshape(self.n_agg, self.d)
         return z_c[self.agg]
 
+    def transpose(self):
+        """Coarse correction for the TRANSPOSED operator (used by the
+        implicit-differentiation adjoint solve): (P^T A P)^T = P^T A^T P,
+        so the transposed coarse inverse is just ``Ac_inv.T``."""
+        cached = getattr(self, "_transposed", None)
+        if cached is None:
+            cached = _TransposedCoarse(self)
+            self._transposed = cached
+        return cached
+
+
+class _TransposedCoarse:
+    def __init__(self, coarse):
+        self.agg = coarse.agg
+        self.n_agg = coarse.n_agg
+        self.d = coarse.d
+        self.Ac_inv_T = coarse.Ac_inv.T
+
+    def __call__(self, r):
+        r_c = jax.ops.segment_sum(r, self.agg, num_segments=self.n_agg)
+        z_c = (self.Ac_inv_T @ r_c.reshape(-1)).reshape(self.n_agg, self.d)
+        return z_c[self.agg]
+
 
 def get_coloring(mesh):
     """Cached (ring, valid, colors) tables for a mesh."""
@@ -253,20 +276,15 @@ def assemble_affine_operator(F, x0, mesh, dtype=None):
     return blocks, f0
 
 
-def ring_gmres(blocks, ring, b, diag_inv=None, rtol=1e-5, restart=24,
-               max_cycles=4, coarse=None):
-    """Solve ``A x = b`` for an assembled 1-ring operator with restarted
-    GMRES, right-preconditioned by block-Jacobi (inverted diagonal
-    blocks), optionally wrapped in a two-level V-cycle with a
-    :class:`CoarseCorrection`.  Every iteration is gathers + batched
-    contractions — the KSP loop never touches the residual machinery
-    (cf. PETSc KSP on the assembled Jacobian, the reference's 2D default
-    ``options.py:44-48``)."""
+def _ring_solve_impl(blocks, ring, b, diag_inv, rtol, restart, max_cycles,
+                     coarse, rtol_scale=None):
+    """Pure GMRES core on an assembled ring operator: ``b`` (nc, d) ->
+    ``(x, rnorm, bnorm)`` with x (nc, d).  ``rtol_scale`` optionally
+    replaces ``||b||`` as the convergence anchor (warm starts keep the
+    target anchored to the original RHS)."""
     from .newton import _fgmres_flat
 
     nc, _, d, _ = blocks.shape
-    if diag_inv is None:
-        diag_inv = batched_inv_small(blocks[:, 0])
 
     def mv(v):
         return ring_apply(blocks, ring, v.reshape(nc, d)).reshape(-1)
@@ -289,11 +307,109 @@ def ring_gmres(blocks, ring, b, diag_inv=None, rtol=1e-5, restart=24,
             z = z + bjac(r3)
             return z.reshape(-1)
 
-    x, rnorm, bnorm = _fgmres_flat(mv, b.reshape(-1), M, rtol, restart,
-                                   max_cycles)
+    bf = b.reshape(-1)
+    rtol_eff = rtol
+    if rtol_scale is not None:
+        rtol_eff = rtol * rtol_scale / jnp.maximum(
+            jnp.linalg.norm(bf), jnp.finfo(bf.dtype).tiny)
+    x, rnorm, bnorm = _fgmres_flat(mv, bf, M, rtol_eff, restart, max_cycles)
+    return x.reshape(nc, d), rnorm, bnorm
+
+
+def _ring_transpose(blocks, ring):
+    """Blocks of A^T for the same ring table: ``A^T[c, s] =
+    A[ring[c, s], rev(c, s)]^T`` where ``rev(c, s)`` is the slot of
+    ``c`` inside its neighbour's ring (facet adjacency is symmetric).
+    Boundary-mirror slots are masked to zero exactly as in the forward
+    blocks."""
+    nc = ring.shape[0]
+    cells = jnp.arange(nc, dtype=ring.dtype)
+    rr = ring[ring]                              # (nc, 4, 4)
+    rev = jnp.argmax(rr == cells[:, None, None], axis=-1)  # (nc, 4)
+    bT = blocks[ring, rev].transpose(0, 1, 3, 2)  # (nc, 4, d, d)
+    valid = jnp.concatenate(
+        [jnp.ones((nc, 1), bool), ring[:, 1:] != cells[:, None]], axis=1)
+    return bT * valid[:, :, None, None].astype(bT.dtype)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _ring_solve(blocks, ring, b, diag_inv, rtol_scale, rtol, restart,
+                max_cycles, coarse):
+    """Differentiable assembled-ring solve ``x = A^{-1} b``.
+
+    The FGMRES core uses ``lax.while_loop`` (not reverse-differentiable);
+    reverse-mode is provided by the implicit function theorem instead:
+    ``A^T lam = xbar`` is solved with the SAME assembled machinery on the
+    transposed blocks, then ``b_bar = lam`` and
+    ``blocks_bar[c, s] = -lam[c] (x[ring[c, s]])^T`` (the standard
+    linear-solve adjoint, cf. the ``custom_vjp`` Newton solve in
+    ``solvers/newton.py``).  Returns ``(x, rnorm, bnorm)``; the norms
+    carry no gradient."""
+    return _ring_solve_impl(blocks, ring, b, diag_inv, rtol, restart,
+                            max_cycles, coarse, rtol_scale=rtol_scale)
+
+
+def _ring_solve_fwd(blocks, ring, b, diag_inv, rtol_scale, rtol, restart,
+                    max_cycles, coarse):
+    out = _ring_solve_impl(blocks, ring, b, diag_inv, rtol, restart,
+                           max_cycles, coarse, rtol_scale=rtol_scale)
+    return out, (blocks, ring, diag_inv, rtol_scale, out[0])
+
+
+def _ring_solve_bwd(rtol, restart, max_cycles, coarse, res, cotangents):
+    blocks, ring, diag_inv, rtol_scale, x = res
+    xbar = cotangents[0]  # rnorm/bnorm cotangents are dead ends
+    bT = _ring_transpose(blocks, ring)
+    coarseT = coarse.transpose() if coarse is not None else None
+    lam, _, _ = _ring_solve_impl(
+        bT, ring, xbar, diag_inv.transpose(0, 2, 1), rtol, restart,
+        max_cycles, coarseT)
+    blocks_bar = -jnp.einsum("co,csj->csoj", lam, x[ring])
+    ring_bar = np.zeros(ring.shape, dtype=jax.dtypes.float0)
+    scale_bar = None if rtol_scale is None else jnp.zeros_like(rtol_scale)
+    return blocks_bar, ring_bar, lam, jnp.zeros_like(diag_inv), scale_bar
+
+
+_ring_solve.defvjp(_ring_solve_fwd, _ring_solve_bwd)
+
+
+def ring_gmres(blocks, ring, b, diag_inv=None, rtol=1e-5, restart=24,
+               max_cycles=4, coarse=None, x0=None):
+    """Solve ``A x = b`` for an assembled 1-ring operator with restarted
+    GMRES, right-preconditioned by block-Jacobi (inverted diagonal
+    blocks), optionally wrapped in a two-level V-cycle with a
+    :class:`CoarseCorrection`.  Every iteration is gathers + batched
+    contractions — the KSP loop never touches the residual machinery
+    (cf. PETSc KSP on the assembled Jacobian, the reference's 2D default
+    ``options.py:44-48``).
+
+    Reverse-differentiable via :func:`_ring_solve`'s implicit-function
+    adjoint.  With a warm start ``x0``, the residual system
+    ``A dx = b - A x0`` is solved (with the convergence target still
+    anchored to ``||b||``) and ``x = x0 + dx``; the adjoint stays exact
+    because the direct ``x0`` path and the ``-A^{-1} A x0`` path cancel
+    analytically."""
+    if diag_inv is None:
+        diag_inv = batched_inv_small(blocks[:, 0])
+
+    if x0 is not None:
+        r0 = b - ring_apply(blocks, ring, x0)
+        bscale = jnp.linalg.norm(b.reshape(-1))
+        dx, rnorm, _ = _ring_solve(blocks, ring, r0, diag_inv, bscale,
+                                   float(rtol), restart, max_cycles, coarse)
+        x = x0 + dx
+        # the residual-system rnorm IS the true residual ||b - A x||
+        bnorm = bscale
+    else:
+        x, rnorm, bnorm = _ring_solve(blocks, ring, b, diag_inv, None,
+                                      float(rtol), restart, max_cycles,
+                                      coarse)
     diverged = rnorm > 1e4 * jnp.maximum(bnorm, jnp.finfo(rnorm.dtype).tiny)
     x = jnp.where(diverged, jnp.nan, x)
-    return x.reshape(nc, d)
+    return x
 
 
 class PackedState:

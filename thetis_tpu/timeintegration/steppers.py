@@ -173,6 +173,7 @@ class CrankNicolson(TimeIntegrator):
                     1, self.params.ksp_max_it // self.params.gmres_restart
                 ),
                 coarse=self.coarse,
+                x0=ps.pack(u_old),  # warm start from the previous level
             )
             return ps.unpack(x)
 
@@ -321,6 +322,7 @@ class DIRKUForm(TimeIntegrator):
                     max_cycles=max(1, self.params.ksp_max_it
                                    // self.params.gmres_restart),
                     coarse=self.coarse,
+                    x0=ps.pack(u_i),  # warm start from the previous level
                 ))
             else:
                 u_i = newton_solve(F, u_i, precond=eq.mass_inverse,

@@ -19,10 +19,8 @@ if not output_logger.handlers:
     h.setFormatter(logging.Formatter("%(message)s"))
     output_logger.addHandler(h)
     output_logger.setLevel(logging.INFO)
-    _mem = logging.handlers.MemoryHandler(10000, target=None) if hasattr(
-        logging, "handlers"
-    ) else None
 
+#: replayed into ``<outputdir>/log`` by :func:`set_log_directory`
 _memory_buffer = []
 
 
