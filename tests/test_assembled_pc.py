@@ -172,3 +172,55 @@ def test_pc_is_near_inverse(cfl_dt, bound):
     rel = float(jnp.linalg.norm(y - pc._pack(x))
                 / jnp.linalg.norm(pc._pack(x)))
     assert rel < bound, rel
+
+
+@pytest.mark.parametrize("visc,wd,periodic", [
+    (True, False, False), (False, True, False), (False, False, True),
+])
+def test_analytic_blocks_match_probing(visc, wd, periodic):
+    """The value-space analytic assembler (``equations/swe_blocks.py``)
+    must reproduce the color-probed semi-implicit operator blocks to
+    machine precision — every term, every BC type, every ring slot."""
+    from thetis_tpu.solvers.assembled import (
+        PackedState, assemble_affine_operator,
+    )
+    from thetis_tpu.equations.swe_blocks import assemble_swe_blocks
+
+    bnd = None if periodic else {
+        1: {"elev": 0.3}, 2: {"un": 0.2}, 3: {"flux": -150.0},
+        4: {"drag": 2.5e-3},
+    }
+    mesh, asm, eq = _make(periodic, bnd=bnd, eq_cls=ShallowWaterEquations,
+                          nx=8, ny=4)
+    if wd:
+        eq.depth.use_wetting_and_drying = True
+        eq.depth.wetting_and_drying_alpha = 0.4
+    rng = np.random.default_rng(3)
+    state = swe_state(jnp.asarray(rng.normal(0, 0.3, (mesh.nc, 3, 2))),
+                      jnp.asarray(rng.normal(0, 0.2, (mesh.nc, 3))))
+    fields = {
+        "lax_friedrichs_velocity_scaling_factor": jnp.asarray(1.0),
+        "quadratic_drag_coefficient": jnp.asarray(2.5e-3),
+        "coriolis": jnp.asarray(rng.normal(0, 1e-4, (mesh.nv,))),
+    }
+    if visc:
+        fields["viscosity_h"] = jnp.asarray(5.0)
+        eq.options.use_grad_depth_viscosity_term = True
+    bnd_values = bnd or {}
+    dt, th = 40.0, 0.55
+    ps = PackedState(state)
+
+    def F(x):
+        st = ps.unpack(x)
+        r = eq.residual("all", st, state, fields, fields, bnd_values)
+        m = eq.mass_term(st)
+        return ps.pack(swe_state(m["uv"] - th * dt * r["uv"],
+                                 m["elev"] - th * dt * r["elev"]))
+
+    blocks_probe, _ = jax.jit(
+        lambda x: assemble_affine_operator(F, x, mesh))(ps.pack(state))
+    blocks_ana = assemble_swe_blocks(eq, state, fields, bnd_values, th * dt)
+    scale = float(jnp.abs(blocks_probe).max())
+    np.testing.assert_allclose(np.asarray(blocks_ana),
+                               np.asarray(blocks_probe),
+                               rtol=5e-13, atol=5e-13 * scale)

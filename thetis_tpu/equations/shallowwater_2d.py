@@ -407,7 +407,11 @@ class ShallowWaterEquations(EquationBase):
         n = c["n"]
         nu_q = self._any_cell_q(nu_f)
         nu_tr = facet_quad_value_2s(asm, nu_f)
-        uv_grad = asm.cell_grads(c["_uv_dofs"])  # (nc,nq,2,2): [k,i]=du_k/dx_i
+        # (nc,nq,2,2): [k,i]=du_k/dx_i — the analytic block assembler
+        # (equations/swe_blocks.py) injects value-space tangents here
+        uv_grad = c.get("uv_grad_q")
+        if uv_grad is None:
+            uv_grad = asm.cell_grads(c["_uv_dofs"])
         if self.options.use_grad_div_viscosity_term:
             sym = uv_grad + jnp.swapaxes(uv_grad, -1, -2)
             stress = nu_q[..., None, None] * sym
@@ -446,7 +450,9 @@ class ShallowWaterEquations(EquationBase):
             jnp.stack([0.5 * SJ, 0.5 * SJ], axis=1) * mi2[:, None]
         )
         # - inner(tensor_jump(test,n), avg(stress))
-        grads_tr = asm.facet_trace_grads(c["_uv_dofs"])  # (nf,2,nqf,2,2)
+        grads_tr = c.get("uv_grad_tr")  # (nf,2,nqf,2,2)
+        if grads_tr is None:
+            grads_tr = asm.facet_trace_grads(c["_uv_dofs"])
         if self.options.use_grad_div_viscosity_term:
             grads_tr = grads_tr + jnp.swapaxes(grads_tr, -1, -2)
         stress_tr = nu_tr[..., None, None] * grads_tr
@@ -686,6 +692,18 @@ class ShallowWaterEquations(EquationBase):
         """Exact block inverse (only valid without W&D displacement)."""
         asm = self.asm
         return swe_state(asm.mass_inverse(r["uv"]), asm.mass_inverse(r["elev"]))
+
+    def assemble_operator_blocks(self, u_lag, fields, bnd_values, coeff,
+                                 mass_scale=1.0):
+        """Exact ring blocks of ``mass_scale*M - coeff*dR/du`` at the
+        semi-implicit linearization, assembled analytically in value
+        space (:func:`~thetis_tpu.equations.swe_blocks.assemble_swe_blocks`
+        — the fast path the assembled-KSP steppers prefer over color
+        probing)."""
+        from .swe_blocks import assemble_swe_blocks
+
+        return assemble_swe_blocks(self, u_lag, fields, bnd_values, coeff,
+                                   mass_scale=mass_scale)
 
 
 class ModeSplit2DEquations(ShallowWaterEquations):

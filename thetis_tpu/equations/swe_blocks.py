@@ -1,0 +1,290 @@
+r"""Analytic ring-block assembly of the semi-implicit SWE operator.
+
+Graph-color probing (``solvers/assembled.py::assemble_affine_operator``)
+extracts the exact 1-ring Jacobian with ``n_colors * 9`` GLOBAL dof
+probes; every probe pays the full residual machinery (tabulations,
+facet gathers, projections) with the probe batch riding the trailing
+axis, so assembly costs tens of residual-equivalents (measured 358 ms
+vs 20 ms/residual on the 102k-cell TPU bench — 65% of the implicit
+step).
+
+This module assembles the SAME blocks analytically by linearizing the
+term algebra in **value space** instead of dof space.  Every SWE term is
+pointwise in the quadrature sites: cell buckets depend only on the quad
+values ``(uv_q, eta_q, grad uv_q)`` at the same (cell, q), and facet
+buckets only on the traces ``(uv_tr, eta_tr, grad uv_tr)`` at the same
+(facet, side, q) — see ``shallowwater_2d.py`` (each bucket ``add`` uses
+the context entries elementwise).  The Jacobian therefore factorizes
+
+    dR/du = P^T  (dB/dvals)  E
+
+with ``E`` the (static) dof->value tabulations and ``P`` the (static)
+value->dof projections.  ``dB/dvals`` is obtained with 21 value-space
+unit tangents through ``jax.linearize`` of the bucket construction —
+only the pointwise term algebra is differentiated (measured 26 ms for
+all 21 probes on the 102k-cell TPU bench); the tabulation / gather /
+projection machinery is contracted ONCE, as a chain of
+``(batch, small, small)`` matmuls against basis matrices built on the
+fly from the shared assembler tables.  Two TPU constraints shape this
+code:
+
+* nothing mesh-sized may be EMBEDDED as a graph constant (the
+  remote-compile tunnel rejects multi-hundred-MB uploads), so the basis
+  matrices are computed inside the jit from the small shared tables;
+* multi-operand einsums with several tiny axes must be avoided (XLA
+  contracts them pairwise through outer-product intermediates — a
+  4-operand form of the facet contraction measured 410 ms vs ~10 ms for
+  the matmul chain).
+
+The result is bit-compatible with color probing (see
+``tests/test_assembled_pc.py::test_analytic_blocks_match_probing``).
+
+Reference analogue: PETSc assembles the same Jacobian from the UFL
+bilinear form (the 2D semi-implicit default, ref ``options.py:44-48``);
+here the "form compiler" is the value-space chain rule.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import Bucket
+
+__all__ = ["assemble_swe_blocks", "swe_mass_blocks"]
+
+# value-space probe layout (cell and per trace side):
+#   k = [u, v, eta, du/dx, du/dy, dv/dx, dv/dy]
+_NKC = 7
+_NKF = 7
+
+
+def _bucket_fn(eq, base_c, label):
+    """Return f(vals) -> tuple of bucket tensors, with vals the implicit
+    value-space inputs; everything else (lagged state, fields, BC data)
+    is closed over from ``base_c``."""
+    def f(vals):
+        uv_q, eta_q, grad_q, uv_tr, eta_tr, grad_tr = vals
+        c = dict(base_c)
+        c["uv_q"], c["eta_q"], c["uv_grad_q"] = uv_q, eta_q, grad_q
+        c["uv_tr"], c["eta_tr"], c["uv_grad_tr"] = uv_tr, eta_tr, grad_tr
+        c["eta_ext"], c["uv_ext"] = eq._bnd_ext(
+            eta_tr[:, 0], uv_tr[:, 0], c["bnd_values"], c["bathy_tr"][:, 0])
+        B = {k: Bucket() for k in (
+            "uv_cell", "uv_grad", "uv_facet", "uv_fgrad",
+            "eta_cell", "eta_grad", "eta_facet")}
+        for _, method in eq.select_terms(label):
+            method(c, B)
+        nc, nq = uv_q.shape[:2]
+        nf, _, nqf = eta_tr.shape
+        dt = uv_q.dtype
+
+        def val(name, shape):
+            b = B[name]
+            return b.val if b else jnp.zeros(shape, dtype=dt)
+
+        return (
+            val("uv_cell", (nc, nq, 2)),
+            val("uv_grad", (nc, nq, 2, 2)),
+            val("eta_cell", (nc, nq)),
+            val("eta_grad", (nc, nq, 2)),
+            val("uv_facet", (nf, 2, nqf, 2)),
+            val("uv_fgrad", (nf, 2, nqf, 2, 2)),
+            val("eta_facet", (nf, 2, nqf)),
+        )
+    return f
+
+
+def _probe_basis(nc, nq, nf, nqf, dtype):
+    """The 21 value-space unit tangents, stacked on a leading axis:
+    7 cell probes followed by 2 sides x 7 trace probes.  Built from
+    tiny broadcast patterns — nothing mesh-sized is materialized."""
+    P = _NKC + 2 * _NKF
+    zc2 = np.zeros((P, 1, 1, 2), np.float64)
+    zc1 = np.zeros((P, 1, 1), np.float64)
+    zc4 = np.zeros((P, 1, 1, 2, 2), np.float64)
+    zf2 = np.zeros((P, 1, 2, 1, 2), np.float64)
+    zf1 = np.zeros((P, 1, 2, 1), np.float64)
+    zf4 = np.zeros((P, 1, 2, 1, 2, 2), np.float64)
+    for a in range(2):
+        zc2[a, ..., a] = 1.0
+    zc1[2] = 1.0
+    for a in range(2):
+        for i in range(2):
+            zc4[3 + 2 * a + i, ..., a, i] = 1.0
+    for s in range(2):
+        o = _NKC + s * _NKF
+        for a in range(2):
+            zf2[o + a, :, s, :, a] = 1.0
+        zf1[o + 2, :, s, :] = 1.0
+        for a in range(2):
+            for i in range(2):
+                zf4[o + 3 + 2 * a + i, :, s, :, a, i] = 1.0
+
+    def bc(z, shape):
+        return jnp.broadcast_to(jnp.asarray(z, dtype=dtype), (P,) + shape)
+
+    return (
+        bc(zc2, (nc, nq, 2)), bc(zc1, (nc, nq)), bc(zc4, (nc, nq, 2, 2)),
+        bc(zf2, (nf, 2, nqf, 2)), bc(zf1, (nf, 2, nqf)),
+        bc(zf4, (nf, 2, nqf, 2, 2)),
+    )
+
+
+def _interleave(a, b):
+    """[..., 3], [..., 3] -> [..., 6] as [a0, b0, a1, b1, a2, b2] — the
+    packed uv column layout (dof-major, component-minor)."""
+    return jnp.stack([a, b], axis=-1).reshape(a.shape[:-1] + (6,))
+
+
+def _basis_rows(T, G):
+    """Basis matrices in the packed column layout [eta(3), uv(6)].
+
+    :arg T: value tabulation (..., 3) — phi at cell quads or trace tab
+    :arg G: gradient tabulation (..., 3, 2)
+    :returns: (E7, Eg2): E7 (..., 7, 9) rows [u, v, eta, du/dx, du/dy,
+        dv/dx, dv/dy]; Eg2 (..., 2, 9) the eta-gradient rows (appended
+        on the out side only — no implicit term reads grad(eta))."""
+    z3 = jnp.zeros_like(T)
+    z6 = jnp.zeros(T.shape[:-1] + (6,), dtype=T.dtype)
+
+    def urow(t):
+        return jnp.concatenate([z3, _interleave(t, z3)], axis=-1)
+
+    def vrow(t):
+        return jnp.concatenate([z3, _interleave(z3, t)], axis=-1)
+
+    erow = jnp.concatenate([T, z6], axis=-1)
+    E7 = jnp.stack([
+        urow(T), vrow(T), erow,
+        urow(G[..., 0]), urow(G[..., 1]),
+        vrow(G[..., 0]), vrow(G[..., 1]),
+    ], axis=-2)
+    Eg2 = jnp.stack([
+        jnp.concatenate([G[..., 0], z6], axis=-1),
+        jnp.concatenate([G[..., 1], z6], axis=-1),
+    ], axis=-2)
+    return E7, Eg2
+
+
+def swe_mass_blocks(eq, u_lag, dtype):
+    """Packed diagonal blocks of the mass operator (nc, 9, 9): the DG
+    mass matrix per component, plus the wetting-and-drying displacement
+    Jacobian d(disp)/d(eta) on the continuity rows when enabled
+    (ref ``shallowwater_eq.py:834-850`` displaced mass)."""
+    asm = eq.asm
+    mesh = asm.mesh
+    Mc = np.asarray(asm._Mref_np)                        # (nd, nd)
+    Mfull = np.zeros((9, 9), Mc.dtype)
+    Mfull[:3, :3] = Mc
+    for dt_ in range(3):
+        for et in range(3):
+            for a in range(2):
+                Mfull[3 + 2 * dt_ + a, 3 + 2 * et + a] = Mc[dt_, et]
+    blocks = jnp.asarray(Mfull, dtype=dtype)[None] * \
+        jnp.asarray(mesh.detJ, dtype=dtype)[:, None, None]
+    if eq.depth.use_wetting_and_drying:
+        eta_q0 = asm.cell_values(u_lag["elev"])
+        _, dd = jax.jvp(
+            lambda e: eq.depth.wd_displacement(eq.bathy_q, e, eq.alpha_q),
+            (eta_q0,), (jnp.ones_like(eta_q0),))
+        # eta rows: sum_q w phi_i (d disp/d eta_q) phi_j
+        phi = asm.space.phi
+        w = asm.wdetJ
+        add = jnp.einsum("cq,qi,qj->cij", w * dd, phi, phi)
+        blocks = blocks.at[:, :3, :3].add(add)
+    return blocks
+
+
+def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
+                        mass_scale=1.0, label="all"):
+    """Assembled ring blocks of the semi-implicit operator
+
+        A = mass_scale * M  -  coeff * dR/du |_(u_lag)
+
+    (``coeff = theta*dt`` for CrankNicolson, ``a_ii*dt`` for u-form DIRK
+    stages; the semi-implicit residual is linear given the lagged state,
+    so these blocks are exact).  Returns (nc, 4, 9, 9) blocks in the
+    ``cell_ring`` slot layout (boundary-mirror slots folded into the
+    diagonal so the result matches color probing exactly)."""
+    asm = eq.asm
+    mesh = asm.mesh
+    assert asm.ndofs == 3, "analytic SWE blocks support P1DG cells"
+    nc = mesh.nc
+    nq = asm.space.phi.shape[0]
+    dtype = u_lag["elev"].dtype
+
+    # base context at the linearization state (implicit == lagged slots)
+    c0 = eq.build_context(u_lag, u_lag, fields, bnd_values)
+    c0["_uv_dofs"] = u_lag["uv"]
+    c0["_uv_old_dofs"] = u_lag["uv"]
+    c0["_eta_old_dofs"] = u_lag["elev"]
+    vals0 = (
+        c0["uv_q"], c0["eta_q"], asm.cell_grads(u_lag["uv"]),
+        c0["uv_tr"], c0["eta_tr"], asm.facet_trace_grads(u_lag["uv"]),
+    )
+    nf, _, nqf = vals0[4].shape
+    f = _bucket_fn(eq, c0, label)
+    _, lin = jax.linearize(f, vals0)
+    basis = _probe_basis(nc, nq, nf, nqf, dtype)
+    out = jax.vmap(lambda *t: lin(tuple(t)))(*basis)
+    (d_uc, d_ug, d_ec, d_eg, d_uf, d_fg, d_ef) = out
+    P = _NKC + 2 * _NKF
+
+    # ---- cell part ---------------------------------------------------
+    # out rows ordered [u, v, eta, du/dx.., dv/dy, deta/dx, deta/dy] to
+    # match the basis-matrix row layout (E7 then Eg2)
+    Jc = jnp.concatenate([
+        d_uc, d_ec[..., None], d_ug.reshape(P, nc, nq, 4), d_eg,
+    ], axis=-1).transpose(1, 2, 3, 0)[..., :_NKC]        # (nc,nq,9,7)
+    phi = jnp.broadcast_to(asm.space.phi.astype(dtype), (nc, nq, 3))
+    gphi = jnp.einsum("qdj,cji->cqdi", asm.space.dphi,
+                      mesh.Jinv).astype(dtype)           # (nc,nq,3,2)
+    Ein, Eg2 = _basis_rows(phi, gphi)                    # (nc,nq,7,9)
+    Eout = jnp.concatenate([Ein, Eg2], axis=-2) * \
+        asm.wdetJ.astype(dtype)[..., None, None]         # (nc,nq,9,9)
+    # chain of (batch, small, small) matmuls — no multi-operand einsum
+    tmp = jnp.einsum("cqok,cqkj->cqoj", Jc, Ein)
+    D = jnp.einsum("cqoi,cqoj->cij", Eout, tmp)
+
+    # ---- facet part --------------------------------------------------
+    # out rows [u, v, eta, fgrad(4)]: uv_facet, eta_facet project with
+    # the value tabulation; uv_fgrad with the gradient tabulation — the
+    # same (E7) row structure as the in-map
+    Jf = jnp.concatenate([
+        d_uf, d_ef[..., None], d_fg.reshape(P, nf, 2, nqf, 4),
+    ], axis=-1).transpose(1, 2, 3, 4, 0)                 # (nf,2,nqf,7,P)
+    T = asm.both_tabs.astype(dtype)                      # (nf,2,nqf,3)
+    GT = asm.both_gtabs_c.astype(dtype)                  # (nf,2,nqf,3,2)
+    Einf, _ = _basis_rows(T, GT)                         # (nf,2,nqf,7,9)
+    Eoutf = Einf * asm.wlen.astype(dtype)[:, None, :, None, None]
+
+    def _facet_block(so, si):
+        Jsl = Jf[:, so, :, :, _NKC + si * _NKF:_NKC + (si + 1) * _NKF]
+        tmp = jnp.einsum("fqok,fqkj->fqoj", Jsl, Einf[:, si])
+        return jnp.einsum("fqoi,fqoj->fij", Eoutf[:, so], tmp)
+
+    Bf = jnp.stack([
+        jnp.stack([_facet_block(so, si) for si in range(2)], axis=1)
+        for so in range(2)], axis=1)                     # (nf,2,2,9,9)
+
+    # ---- gather facet blocks into ring slots -------------------------
+    cf = jnp.asarray(mesh.cell_facets)                   # (nc, 3)
+    cs = jnp.asarray(mesh.cell_sides)                    # (nc, 3)
+    fcells = jnp.asarray(mesh.facet_cells)
+    Bflat = Bf.reshape(nf * 4, 81)
+    own = (cf * 4 + cs * 2 + cs).reshape(-1)             # (nc*3,) [s,s]
+    opp = (cf * 4 + cs * 2 + (1 - cs)).reshape(-1)       # (nc*3,) [s,1-s]
+    B_own = Bflat[own].reshape(nc, 3, 9, 9)
+    B_opp = Bflat[opp].reshape(nc, 3, 9, 9)
+    # interior facets: [s,1-s] couples to the neighbour (ring slot l+1);
+    # boundary facets: the mirror trace IS the owner's trace -> fold into
+    # the diagonal (matches probing, which sees one combined dependence)
+    is_bnd = (fcells[:, 0] == fcells[:, 1])[cf]          # (nc, 3)
+    bndm = is_bnd[..., None, None].astype(dtype)
+    diag = D + B_own.sum(1) + (B_opp * bndm).sum(1)
+    slots = B_opp * (1.0 - bndm)                         # (nc,3,9,9)
+
+    J = jnp.concatenate([diag[:, None], slots], axis=1)  # (nc,4,9,9)
+    M = swe_mass_blocks(eq, u_lag, dtype)
+    A = -coeff * J
+    A = A.at[:, 0].add(mass_scale * M)
+    return A

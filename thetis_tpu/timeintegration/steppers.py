@@ -156,24 +156,46 @@ class CrankNicolson(TimeIntegrator):
         if self.assembled_solve:
             from ..solvers.assembled import (
                 PackedState, assemble_affine_operator, ring_gmres,
-                get_coloring,
+                ring_apply, get_coloring,
             )
 
             ps = PackedState(u_old)
-            blocks, f0 = assemble_affine_operator(
-                lambda x: ps.pack(F(ps.unpack(x))), ps.pack(u_old),
-                eq.mesh,
-            )
             ring, _, _ = get_coloring(eq.mesh)
+            ring_j = jnp.asarray(ring)
+            x_old = ps.pack(u_old)
+            # the analytic path linearizes the (possibly nonlinear W&D)
+            # displacement mass at u_lag; probing linearizes it at u_old —
+            # identical unless a Picard re-linearization state is passed
+            wd = getattr(getattr(eq, "depth", None),
+                         "use_wetting_and_drying", False)
+            analytic = (hasattr(eq, "assemble_operator_blocks")
+                        and not (wd and linearization_state is not None))
+            if analytic:
+                # analytic value-space assembly (equations/swe_blocks.py):
+                # a small multiple of one residual evaluation, vs
+                # n_colors*9 dof probes for generic color probing
+                blocks = eq.assemble_operator_blocks(
+                    u_lag, fields, bnd_values, th * dt)
+                if fields is fields_old and linearization_state is None:
+                    # r_impl(u_old) == r_expl: F(u_old) = -dt * r_expl
+                    F_old = _tree_lc([(-dt, r_expl)])
+                else:
+                    F_old = F(u_old)
+                b = ring_apply(blocks, ring_j, x_old) - ps.pack(F_old)
+            else:
+                blocks, f0 = assemble_affine_operator(
+                    lambda x: ps.pack(F(ps.unpack(x))), x_old, eq.mesh,
+                )
+                b = -f0
             x = ring_gmres(
-                blocks, jnp.asarray(ring), -f0,
+                blocks, ring_j, b,
                 rtol=self.params.ksp_rtol,
                 restart=self.params.gmres_restart,
                 max_cycles=max(
                     1, self.params.ksp_max_it // self.params.gmres_restart
                 ),
                 coarse=self.coarse,
-                x0=ps.pack(u_old),  # warm start from the previous level
+                x0=x_old,  # warm start from the previous level
             )
             return ps.unpack(x)
 
@@ -287,6 +309,7 @@ class DIRKUForm(TimeIntegrator):
         dt = self.dt
         m_old = eq.mass_term(solution)
         r_stages = []
+        stage_blocks = {}
         u_i = solution
         for i in range(self.n_stages):
             aii = float(self.a[i][i])
@@ -306,23 +329,43 @@ class DIRKUForm(TimeIntegrator):
             if self.assembled_solve:
                 from ..solvers.assembled import (
                     PackedState, assemble_affine_operator, ring_gmres,
-                    get_coloring,
+                    ring_apply, get_coloring,
                 )
 
                 ps = PackedState(u_i)
-                blocks, f0 = assemble_affine_operator(
-                    lambda x: ps.pack(F(ps.unpack(x))), ps.pack(u_i),
-                    eq.mesh,
-                )
                 ring, _, _ = get_coloring(eq.mesh)
+                ring_j = jnp.asarray(ring)
+                x_i = ps.pack(u_i)
+                # with W&D the displacement mass is nonlinear in eta and
+                # the probing path linearizes it at u_i (one Newton step);
+                # the analytic fast path linearizes at the step start, so
+                # only take it for the affine (non-W&D) case
+                analytic = (hasattr(eq, "assemble_operator_blocks")
+                            and not getattr(
+                                getattr(eq, "depth", None),
+                                "use_wetting_and_drying", False))
+                if analytic:
+                    # stages with equal a_ii share the operator: cache
+                    # the analytic blocks per diagonal coefficient
+                    blocks = stage_blocks.get(aii)
+                    if blocks is None:
+                        blocks = eq.assemble_operator_blocks(
+                            solution, fields, bnd_values, dt * aii)
+                        stage_blocks[aii] = blocks
+                    b = ring_apply(blocks, ring_j, x_i) - ps.pack(F(u_i))
+                else:
+                    blocks, f0 = assemble_affine_operator(
+                        lambda x: ps.pack(F(ps.unpack(x))), x_i, eq.mesh,
+                    )
+                    b = -f0
                 u_i = ps.unpack(ring_gmres(
-                    blocks, jnp.asarray(ring), -f0,
+                    blocks, ring_j, b,
                     rtol=self.params.ksp_rtol,
                     restart=self.params.gmres_restart,
                     max_cycles=max(1, self.params.ksp_max_it
                                    // self.params.gmres_restart),
                     coarse=self.coarse,
-                    x0=ps.pack(u_i),  # warm start from the previous level
+                    x0=x_i,  # warm start from the previous level
                 ))
             else:
                 u_i = newton_solve(F, u_i, precond=eq.mass_inverse,
