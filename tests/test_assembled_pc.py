@@ -174,10 +174,11 @@ def test_pc_is_near_inverse(cfl_dt, bound):
     assert rel < bound, rel
 
 
-@pytest.mark.parametrize("visc,wd,periodic", [
-    (True, False, False), (False, True, False), (False, False, True),
+@pytest.mark.parametrize("visc,wd,periodic,modesplit", [
+    (True, False, False, False), (False, True, False, False),
+    (False, False, True, False), (False, False, False, True),
 ])
-def test_analytic_blocks_match_probing(visc, wd, periodic):
+def test_analytic_blocks_match_probing(visc, wd, periodic, modesplit):
     """The value-space analytic assembler (``equations/swe_blocks.py``)
     must reproduce the color-probed semi-implicit operator blocks to
     machine precision — every term, every BC type, every ring slot."""
@@ -190,8 +191,8 @@ def test_analytic_blocks_match_probing(visc, wd, periodic):
         1: {"elev": 0.3}, 2: {"un": 0.2}, 3: {"flux": -150.0},
         4: {"drag": 2.5e-3},
     }
-    mesh, asm, eq = _make(periodic, bnd=bnd, eq_cls=ShallowWaterEquations,
-                          nx=8, ny=4)
+    eq_cls = ModeSplit2DEquations if modesplit else ShallowWaterEquations
+    mesh, asm, eq = _make(periodic, bnd=bnd, eq_cls=eq_cls, nx=8, ny=4)
     if wd:
         eq.depth.use_wetting_and_drying = True
         eq.depth.wetting_and_drying_alpha = 0.4
