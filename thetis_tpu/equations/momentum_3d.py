@@ -326,18 +326,18 @@ def vertical_viscosity_implicit(uv, nu_v, Dn, dt, stress_top=None,
 
     solver = GenericLengthScaleModel.__new__(GenericLengthScaleModel)
 
-    out = []
-    for kcomp in range(2):
-        f = uv[..., kcomp]
-        rhs = f
-        if stress_top is not None:
-            v_top = jnp.maximum(0.5 * Dn[..., -1], 1e-12)
-            rhs = rhs.at[..., -1, 1].add(dt * stress_top[..., kcomp] / v_top)
-        if bottom_drag is not None and uv_bot is not None:
-            ub_mag = jnp.sqrt((uv_bot**2).sum(-1) + 1e-14)
-            v_bot = jnp.maximum(0.5 * Dn[..., 0], 1e-12)
-            rhs = rhs.at[..., 0, 0].add(
-                -dt * bottom_drag * ub_mag * uv_bot[..., kcomp] / v_bot
-            )
-        out.append(solver._vdiff_implicit(rhs, nu_v, Dn, dt))
-    return jnp.stack(out, axis=-1)
+    # both components ride one batched column solve (leading axis): the
+    # fused tridiagonal kernel then launches once instead of twice
+    rhs = jnp.moveaxis(uv, -1, 0)                       # (2, nc, nd, nz, 2)
+    if stress_top is not None:
+        v_top = jnp.maximum(0.5 * Dn[..., -1], 1e-12)
+        rhs = rhs.at[..., -1, 1].add(
+            dt * jnp.moveaxis(stress_top, -1, 0) / v_top)
+    if bottom_drag is not None and uv_bot is not None:
+        ub_mag = jnp.sqrt((uv_bot**2).sum(-1) + 1e-14)
+        v_bot = jnp.maximum(0.5 * Dn[..., 0], 1e-12)
+        rhs = rhs.at[..., 0, 0].add(
+            -dt * bottom_drag * ub_mag * jnp.moveaxis(uv_bot, -1, 0) / v_bot
+        )
+    out = solver._vdiff_implicit(rhs, nu_v, Dn, dt)
+    return jnp.moveaxis(out, 0, -1)

@@ -273,35 +273,12 @@ class GenericLengthScaleModel:
         a = jnp.concatenate([jnp.zeros_like(g[..., :1]), g], axis=-1) / V
         c = jnp.concatenate([g, jnp.zeros_like(g[..., :1])], axis=-1) / V
         b = 1.0 + a + c
-        # batched Thomas algorithm via scan over the vertical axis
-        shape = prof.shape
+        # system: -a_i f_{i-1} + b_i f_i - c_i f_{i+1} = d_i — one fused
+        # Pallas Thomas sweep on TPU (vs 2*nz scan kernels),
+        # ``kernels/tridiag.py``
+        from ..kernels import tridiag_solve
 
-        # system: -a_i f_{i-1} + b_i f_i - c_i f_{i+1} = d_i
-        def thomas(carry, idx):
-            cp_prev, dp_prev = carry
-            ai = a[..., idx]
-            bi = b[..., idx]
-            ci = c[..., idx]
-            di = prof[..., idx]
-            m = bi - ai * cp_prev
-            cp = ci / m
-            dp = (di + ai * dp_prev) / m
-            return (cp, dp), (cp, dp)
-
-        init = (jnp.zeros(shape[:-1]), jnp.zeros(shape[:-1]))
-        _, (cps, dps) = jax.lax.scan(thomas, init, jnp.arange(nzp))
-        cps = jnp.moveaxis(cps, 0, -1)
-        dps = jnp.moveaxis(dps, 0, -1)
-
-        def backsub(carry, idx):
-            x_next = carry
-            x = dps[..., idx] + cps[..., idx] * x_next
-            return x, x
-
-        _, xs = jax.lax.scan(
-            backsub, jnp.zeros(shape[:-1]), jnp.arange(nzp - 1, -1, -1)
-        )
-        xs = jnp.moveaxis(xs, 0, -1)[..., ::-1]
+        xs = tridiag_solve(-a, b, -c, prof)
         # expand back to (nz, 2) layout
         bot = xs[..., :-1]
         top = xs[..., 1:]

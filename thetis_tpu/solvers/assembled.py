@@ -295,6 +295,11 @@ def _ring_solve_impl(blocks, ring, b, diag_inv, rtol, restart, max_cycles,
     if coarse is None:
         def M(v):
             return bjac(v.reshape(nc, d)).reshape(-1)
+    elif getattr(coarse, "is_full_pc", False):
+        # a complete preconditioner (e.g. the Schur fieldsplit V-cycle,
+        # ``solvers/fieldsplit.py``): applied as-is, no extra smoothing
+        def M(v):
+            return coarse(v.reshape(nc, d)).reshape(-1)
     else:
         def M(v):
             # multiplicative two-level V-cycle: smooth, coarse-correct,
