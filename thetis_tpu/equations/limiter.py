@@ -162,28 +162,44 @@ class VertexBasedP1DGLimiter3D:
         self.bnd_n1 = jnp.asarray((lf + 1) % 3, dtype=jnp.int32)
         self.bnd_n2 = jnp.asarray((lf + 2) % 3, dtype=jnp.int32)
 
-    def _apply_scalar(self, u):
+    def _apply_multi(self, u):
+        """Limit ``u`` (nc, 3, nz, 2, k) — all k components in ONE pass.
+
+        TPU gather cost is flat in row width (CLAUDE.md), so every
+        vertex-table lookup packs as many columns as possible and fires
+        once: (1) per-cell centroids + surface/bottom face means ride
+        one ``v2c`` gather; (2) the final per-(cell, node, layer)
+        bounds lookup packs [qmax_k, qmax_{k+1}, qmin_k, qmin_{k+1}]
+        for all components into one row gather.  A device trace showed
+        the unpacked formulation spending ~1.37 ms per 166k-row bounds
+        gather, 8+ of them per step."""
         nz = self.nz
-        centroid = u.mean(axis=(1, 3))            # (nc, nz)
-        # per-vertex, per-layer extrema of incident element centroids
-        cent_v = centroid[self.v2c]               # (nv, K, nz)
-        cmax = cent_v.max(axis=1)                 # (nv, nz)
-        cmin = cent_v.min(axis=1)
+        nc, _, _, _, k = u.shape
+        nv = self.v2c.shape[0]
+        centroid = u.mean(axis=(1, 3))            # (nc, nz, k)
+        bot_mean = u[:, :, 0, 0].mean(axis=1)     # (nc, k)
+        top_mean = u[:, :, nz - 1, 1].mean(axis=1)
+        # one packed vertex gather: [centroids | bottom means | top means]
+        table = jnp.concatenate(
+            [centroid.reshape(nc, nz * k), bot_mean, top_mean], axis=1)
+        tv = table[self.v2c]                      # (nv, K, (nz+2) k)
+        tmax = tv.max(axis=1)
+        tmin = tv.min(axis=1)
+        cmax = tmax[:, :nz * k].reshape(nv, nz, k)
+        cmin = tmin[:, :nz * k].reshape(nv, nz, k)
+        fb_max = tmax[:, nz * k:(nz + 1) * k]     # (nv, k)
+        fb_min = tmin[:, nz * k:(nz + 1) * k]
+        ft_max = tmax[:, (nz + 1) * k:]
+        ft_min = tmin[:, (nz + 1) * k:]
         # interface bounds: merge the two adjacent layers; the
         # surface/bottom relaxation (ref op2 kernels L118-160) extends
         # the single-sided top/bottom interfaces with the horizontal
         # face means so monotone vertical profiles pass untouched
-        bot_mean = u[:, :, 0, 0].mean(axis=1)     # (nc,)
-        top_mean = u[:, :, nz - 1, 1].mean(axis=1)
-        fb_max = bot_mean[self.v2c].max(axis=1)   # (nv,)
-        fb_min = bot_mean[self.v2c].min(axis=1)
-        ft_max = top_mean[self.v2c].max(axis=1)
-        ft_min = top_mean[self.v2c].min(axis=1)
         qmax = jnp.concatenate([
             jnp.maximum(cmax[:, :1], fb_max[:, None]),
             jnp.maximum(cmax[:, :-1], cmax[:, 1:]),
             jnp.maximum(cmax[:, -1:], ft_max[:, None]),
-        ], axis=1)                                # (nv, nz+1)
+        ], axis=1)                                # (nv, nz+1, k)
         qmin = jnp.concatenate([
             jnp.minimum(cmin[:, :1], fb_min[:, None]),
             jnp.minimum(cmin[:, :-1], cmin[:, 1:]),
@@ -191,14 +207,16 @@ class VertexBasedP1DGLimiter3D:
         ], axis=1)
         if self._has_bnd:
             # lateral-wall relaxation: per-layer boundary-facet means
-            f1 = u[self.bnd_cell, self.bnd_n1]    # (nf, nz, 2)
+            f1 = u[self.bnd_cell, self.bnd_n1]    # (nf, nz, 2, k)
             f2 = u[self.bnd_cell, self.bnd_n2]
-            fmean = 0.25 * (f1 + f2).sum(axis=-1)  # (nf, nz)
-            fm_v = fmean[self.v2f]                 # (nv, KB, nz)
+            fmean = 0.25 * (f1 + f2).sum(axis=-2)  # (nf, nz, k)
+            fm_v = fmean.reshape(-1, nz * k)[self.v2f]  # (nv, KB, nz k)
             big = jnp.asarray(jnp.finfo(u.dtype).max, dtype=u.dtype)
             mask = self.v2f_mask[:, None, None]
-            fmax = jnp.where(mask, fm_v, -big).max(axis=1)  # (nv, nz)
-            fmin = jnp.where(mask, fm_v, big).min(axis=1)
+            fmax = jnp.where(mask, fm_v, -big).max(axis=1).reshape(
+                nv, nz, k)
+            fmin = jnp.where(mask, fm_v, big).min(axis=1).reshape(
+                nv, nz, k)
             bmax = jnp.concatenate([
                 fmax[:, :1], jnp.maximum(fmax[:, :-1], fmax[:, 1:]),
                 fmax[:, -1:],
@@ -209,23 +227,28 @@ class VertexBasedP1DGLimiter3D:
             ], axis=1)
             qmax = jnp.maximum(qmax, bmax)
             qmin = jnp.minimum(qmin, bmin)
-        ks = jnp.arange(nz)
-        cvb = jnp.broadcast_to(self.cells[:, :, None],
-                               (self.mesh.nc, 3, nz))
-        kb = jnp.broadcast_to(ks[None, None, :], (self.mesh.nc, 3, nz))
-        vmax = jnp.stack([qmax[cvb, kb], qmax[cvb, kb + 1]], axis=-1)
-        vmin = jnp.stack([qmin[cvb, kb], qmin[cvb, kb + 1]], axis=-1)
-        dev = u - centroid[:, None, :, None]
+        # pack [qmax_z, qmax_{z+1}, qmin_z, qmin_{z+1}] per (vertex,
+        # layer) and gather ONCE per (cell, node, layer)
+        Q = jnp.concatenate(
+            [qmax[:, :nz], qmax[:, 1:], qmin[:, :nz], qmin[:, 1:]],
+            axis=-1).reshape(nv * nz, 4 * k)
+        idx = self.cells[:, :, None] * nz + jnp.arange(nz)[None, None, :]
+        g = Q[idx]                                # (nc, 3, nz, 4k)
+        vmax = jnp.stack([g[..., :k], g[..., k:2 * k]], axis=-2)
+        vmin = jnp.stack([g[..., 2 * k:3 * k], g[..., 3 * k:]], axis=-2)
+        dev = u - centroid[:, None, :, None, :]
         eps = jnp.asarray(1e-14, dtype=u.dtype)
-        cb = centroid[:, None, :, None]
+        cb = centroid[:, None, :, None, :]
         up = jnp.where(dev > eps, (vmax - cb) / jnp.maximum(dev, eps), 1.0)
         dn = jnp.where(dev < -eps, (vmin - cb) / jnp.minimum(dev, -eps), 1.0)
         alpha = jnp.clip(jnp.minimum(up, dn), 0.0, 1.0).min(axis=(1, 3))
-        return cb + alpha[:, None, :, None] * dev
+        return cb + alpha[:, None, :, None, :] * dev
+
+    def _apply_scalar(self, u):
+        return self._apply_multi(u[..., None])[..., 0]
 
     def apply(self, u):
         """Limit a (nc, 3, nz, 2[, k]) dof array."""
         if u.ndim == 5:
-            comps = [self._apply_scalar(u[..., k]) for k in range(u.shape[-1])]
-            return jnp.stack(comps, axis=-1)
+            return self._apply_multi(u)
         return self._apply_scalar(u)
