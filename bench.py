@@ -82,13 +82,15 @@ def build_workload_2d(nx, ny, stepper="SSPRK33"):
         dt = 2.0 * float(mesh.cell_hmin_np.min()) / c  # CFL ~ 25
         from thetis_tpu.solvers.newton import NewtonParameters
         from thetis_tpu.solvers.assembled import (
-            PackedState, assemble_affine_operator, CoarseCorrection,
-            get_coloring,
+            PackedState, assemble_affine_operator, get_coloring,
+            CoarseCorrection,
         )
 
         # semi-implicit system is affine + 1-ring local: per-step
-        # assembled-Jacobian KSP (gather+small-matmul matvecs only) with
-        # a setup-time Galerkin coarse correction (two-level PC)
+        # assembled-Jacobian KSP (shift-stencil matvecs, component-major
+        # layout) with a setup-time Galerkin coarse correction (two-level
+        # V-cycle; the Schur fieldsplit PC is reserved for large wave
+        # CFL where one-level methods stall — see flowsolver2d)
         zero = swe_state(jnp.zeros((mesh.nc, 3, 2)), jnp.zeros((mesh.nc, 3)))
         ps = PackedState(zero)
 
@@ -102,12 +104,12 @@ def build_workload_2d(nx, ny, stepper="SSPRK33"):
         blocks0, _ = jax.jit(
             lambda x0: assemble_affine_operator(Fw, x0, mesh))(ps.pack(zero))
         ring, _, _ = get_coloring(mesh)
-        coarse = CoarseCorrection(blocks0, np.asarray(ring), mesh)  # auto-sized coarse dim
+        coarse = CoarseCorrection(blocks0, np.asarray(ring), mesh)
         st = get_stepper(
             "CrankNicolson", eq, dt, semi_implicit=True,
             assembled_solve=True, coarse=coarse,
-            solver_parameters=NewtonParameters(ksp_rtol=1e-7, ksp_max_it=48,
-                                               gmres_restart=12),
+            solver_parameters=NewtonParameters(ksp_rtol=1e-5, ksp_max_it=32,
+                                               gmres_restart=8),
         )
     n_dofs = mesh.nc * 3 * 3
 

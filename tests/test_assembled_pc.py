@@ -225,3 +225,138 @@ def test_analytic_blocks_match_probing(visc, wd, periodic, modesplit):
     np.testing.assert_allclose(np.asarray(blocks_ana),
                                np.asarray(blocks_probe),
                                rtol=5e-13, atol=5e-13 * scale)
+
+
+def test_fieldsplit_pc_high_cfl_convergence():
+    """The Schur fieldsplit PC (``solvers/fieldsplit.py``) must solve the
+    assembled semi-implicit system at large wave CFL in a small fixed
+    FGMRES budget — the regime where one-level block-Jacobi stalls (the
+    reference runs fieldsplit/Schur KSPs in exactly this regime,
+    ref ``options.py:44-48``)."""
+    from thetis_tpu.solvers.assembled import (
+        PackedState, assemble_affine_operator, get_coloring,
+        batched_inv_small, ring_apply, _ring_solve_impl,
+    )
+    from thetis_tpu.solvers.fieldsplit import SchurFieldsplitPC
+
+    mesh, asm, eq = _make(False, eq_cls=ShallowWaterEquations,
+                          nx=24, ny=12, lx=1e5, ly=5e4)
+    fields = {"lax_friedrichs_velocity_scaling_factor": jnp.asarray(1.0),
+              "quadratic_drag_coefficient": jnp.asarray(2.5e-3)}
+    zero = swe_state(jnp.zeros((mesh.nc, 3, 2)), jnp.zeros((mesh.nc, 3)))
+    ps = PackedState(zero)
+    c = np.sqrt(9.81 * 21.0)
+    hmin = float(mesh.cell_hmin_np.min())
+    dt = 24.0 * hmin / c  # wave CFL 24 (in min-altitude units)
+
+    def Fw(x):
+        st = ps.unpack(x)
+        r = eq.residual("all", st, zero, fields, fields, {})
+        m = eq.mass_term(st)
+        return ps.pack(swe_state(m["uv"] - 0.5 * dt * r["uv"],
+                                 m["elev"] - 0.5 * dt * r["elev"]))
+
+    blocks, _ = jax.jit(
+        lambda x: assemble_affine_operator(Fw, x, mesh))(ps.pack(zero))
+    ring, _, _ = get_coloring(mesh)
+    ring_j = jnp.asarray(ring)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal((mesh.nc, 9)))
+    diag_inv = batched_inv_small(blocks[:, 0])
+
+    def rel_resid(x):
+        return float(jnp.linalg.norm(ring_apply(blocks, ring_j, x) - b)
+                     / jnp.linalg.norm(b))
+
+    fs = SchurFieldsplitPC(blocks, ring, mesh)
+    x_fs, _, _ = _ring_solve_impl(blocks, ring_j, b, diag_inv, 1e-10,
+                                  8, 4, fs)
+    # one-level block-Jacobi with the same 32-iteration budget
+    x_bj, _, _ = _ring_solve_impl(blocks, ring_j, b, diag_inv, 1e-10,
+                                  8, 4, None)
+    assert rel_resid(x_fs) < 5e-3, rel_resid(x_fs)
+    assert rel_resid(x_fs) < 0.1 * rel_resid(x_bj), (
+        rel_resid(x_fs), rel_resid(x_bj))
+
+
+def test_fieldsplit_cn_step_and_gradient():
+    """CN stepping through ``ring_gmres`` with the fieldsplit PC must
+    match the matrix-free solve, and reverse-mode AD must flow through
+    the PC's transpose path (the implicit-function adjoint solve uses
+    ``SchurFieldsplitPC.transpose()``)."""
+    from thetis_tpu.timeintegration.steppers import CrankNicolson
+    from thetis_tpu.solvers.newton import NewtonParameters
+    from thetis_tpu.solvers.assembled import (
+        PackedState, assemble_affine_operator, get_coloring,
+    )
+    from thetis_tpu.solvers.fieldsplit import SchurFieldsplitPC
+
+    mesh, asm, eq = _make(False, eq_cls=ShallowWaterEquations,
+                          nx=8, ny=4, lx=1e4, ly=5e3)
+    fields = {"lax_friedrichs_velocity_scaling_factor": jnp.asarray(1.0),
+              "quadratic_drag_coefficient": jnp.asarray(2.5e-3)}
+    x = mesh.coords_np[mesh.cells_np]
+    elev0 = jnp.asarray(0.05 * np.sin(np.pi * x[..., 0] / 1e4))
+    sol0 = swe_state(jnp.zeros((mesh.nc, 3, 2)), elev0)
+    dt = 200.0
+    zero = swe_state(jnp.zeros((mesh.nc, 3, 2)), jnp.zeros((mesh.nc, 3)))
+    ps = PackedState(zero)
+
+    def Fw(xp):
+        st = ps.unpack(xp)
+        r = eq.residual("all", st, zero, fields, fields, {})
+        m = eq.mass_term(st)
+        return ps.pack(swe_state(m["uv"] - 0.5 * dt * r["uv"],
+                                 m["elev"] - 0.5 * dt * r["elev"]))
+
+    blocks, _ = jax.jit(
+        lambda xp: assemble_affine_operator(Fw, xp, mesh))(ps.pack(zero))
+    ring, _, _ = get_coloring(mesh)
+    fs = SchurFieldsplitPC(blocks, ring, mesh)
+    tight = NewtonParameters(ksp_rtol=1e-12, ksp_max_it=200,
+                             gmres_restart=20)
+    st_mf = CrankNicolson(eq, dt, semi_implicit=True,
+                          solver_parameters=tight)
+    st_fs = CrankNicolson(eq, dt, semi_implicit=True, assembled_solve=True,
+                          coarse=fs, solver_parameters=tight)
+    a = st_mf.advance(0.0, sol0, fields, fields, {})
+    b = st_fs.advance(0.0, sol0, fields, fields, {})
+    np.testing.assert_allclose(np.asarray(b["elev"]), np.asarray(a["elev"]),
+                               rtol=1e-8, atol=1e-11)
+
+    def loss(e0):
+        out = st_fs.advance(0.0, swe_state(sol0["uv"], e0), fields, fields,
+                            {})
+        return jnp.sum(out["elev"] ** 2)
+
+    g = jax.grad(loss)(elev0)
+    # finite-difference check along a random direction
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal(elev0.shape))
+    eps = 1e-5
+    fd = (loss(elev0 + eps * v) - loss(elev0 - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd),
+                               rtol=2e-5)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_shift_stencil_matches_gather(periodic):
+    """The DIA/shift-stencil ring matvec (``solvers/assembled.py::
+    ShiftStencil``) must reproduce the gather formulation exactly —
+    including boundary-mirror slots and the periodic seam."""
+    from thetis_tpu.solvers.assembled import (
+        cell_ring, get_stencil, ring_apply,
+    )
+
+    mesh, asm, eq = _make(periodic, nx=9, ny=5)
+    ring, valid = cell_ring(mesh)
+    st = get_stencil(mesh)
+    assert st is not None
+    rng = np.random.default_rng(8)
+    blocks = jnp.asarray(rng.standard_normal((mesh.nc, 4, 5, 7)))
+    blocks = blocks * jnp.asarray(valid, blocks.dtype)[:, :, None, None]
+    x = jnp.asarray(rng.standard_normal((mesh.nc, 7)))
+    y_gather = ring_apply(blocks, jnp.asarray(ring), x)
+    y_shift = ring_apply(blocks, jnp.asarray(ring), x, stencil=st)
+    np.testing.assert_allclose(np.asarray(y_shift), np.asarray(y_gather),
+                               rtol=1e-13, atol=1e-13)

@@ -367,15 +367,26 @@ class FlowSolver2d:
         )
 
     def _build_coarse(self, coeff):
-        """Setup-time Galerkin coarse correction for the assembled
-        implicit-SWE KSP: rest-state wave-Jacobian blocks are aggregated
-        and the coarse matrix densely inverted once.  Makes the per-step
-        KSP iteration count O(10) at any implicit wave CFL (the grid-
-        scalable component block-Jacobi lacks)."""
+        """Setup-time preconditioner for the assembled implicit-SWE KSP,
+        chosen by the rest-state implicit wave CFL:
+
+        * modest CFL (< 6): Galerkin coarse correction
+          (:class:`~thetis_tpu.solvers.assembled.CoarseCorrection`) used
+          as a two-level V-cycle — few cheap kernels per iteration, and
+          block-Jacobi+coarse converges quickly in this regime;
+        * large CFL: the Schur fieldsplit PC (``solvers/fieldsplit.py``)
+          — the analogue of the reference's fieldsplit/Schur KSP
+          defaults (ref ``options.py:44-48``, ``assembledschur.py``).
+          Costlier per application but keeps the iteration count O(10)
+          where one-level methods stall outright (measured: block-Jacobi
+          GMRES plateaus at 0.9 rel. residual at wave CFL 24)."""
+        import numpy as np
+        from ..config import physical_constants
         from ..solvers.assembled import (
-            PackedState, assemble_affine_operator, CoarseCorrection,
-            get_coloring,
+            PackedState, assemble_affine_operator, get_coloring,
+            CoarseCorrection,
         )
+        from ..solvers.fieldsplit import SchurFieldsplitPC
 
         eq = self.eq_sw
         zero = {
@@ -399,7 +410,13 @@ class FlowSolver2d:
             lambda x0: assemble_affine_operator(F, x0, eq.mesh)
         )(ps.pack(zero))
         ring, _, _ = get_coloring(eq.mesh)
-        return CoarseCorrection(blocks, np.asarray(ring), eq.mesh)
+        g = float(physical_constants["g_grav"])
+        h_max = float(np.asarray(self.bathymetry_dof).max())
+        cfl = (np.sqrt(g * max(h_max, 0.05)) * coeff
+               / float(np.asarray(self.mesh2d.cell_hmin_np).min()))
+        if cfl < 6.0:
+            return CoarseCorrection(blocks, np.asarray(ring), eq.mesh)
+        return SchurFieldsplitPC(blocks, np.asarray(ring), eq.mesh)
 
     def _swe_preconditioner(self, choice, theta):
         """Resolve the implicit-SWE preconditioner choice.

@@ -156,12 +156,13 @@ class CrankNicolson(TimeIntegrator):
         if self.assembled_solve:
             from ..solvers.assembled import (
                 PackedState, assemble_affine_operator, ring_gmres,
-                ring_apply, get_coloring,
+                ring_apply, get_coloring, get_stencil,
             )
 
             ps = PackedState(u_old)
             ring, _, _ = get_coloring(eq.mesh)
             ring_j = jnp.asarray(ring)
+            stencil = get_stencil(eq.mesh)
             x_old = ps.pack(u_old)
             # the analytic path linearizes the (possibly nonlinear W&D)
             # displacement mass at u_lag; probing linearizes it at u_old —
@@ -181,7 +182,8 @@ class CrankNicolson(TimeIntegrator):
                     F_old = _tree_lc([(-dt, r_expl)])
                 else:
                     F_old = F(u_old)
-                b = ring_apply(blocks, ring_j, x_old) - ps.pack(F_old)
+                b = ring_apply(blocks, ring_j, x_old,
+                               stencil=stencil) - ps.pack(F_old)
             else:
                 blocks, f0 = assemble_affine_operator(
                     lambda x: ps.pack(F(ps.unpack(x))), x_old, eq.mesh,
@@ -196,6 +198,7 @@ class CrankNicolson(TimeIntegrator):
                 ),
                 coarse=self.coarse,
                 x0=x_old,  # warm start from the previous level
+                stencil=stencil,
             )
             return ps.unpack(x)
 
@@ -329,12 +332,13 @@ class DIRKUForm(TimeIntegrator):
             if self.assembled_solve:
                 from ..solvers.assembled import (
                     PackedState, assemble_affine_operator, ring_gmres,
-                    ring_apply, get_coloring,
+                    ring_apply, get_coloring, get_stencil,
                 )
 
                 ps = PackedState(u_i)
                 ring, _, _ = get_coloring(eq.mesh)
                 ring_j = jnp.asarray(ring)
+                stencil = get_stencil(eq.mesh)
                 x_i = ps.pack(u_i)
                 # with W&D the displacement mass is nonlinear in eta and
                 # the probing path linearizes it at u_i (one Newton step);
@@ -352,7 +356,8 @@ class DIRKUForm(TimeIntegrator):
                         blocks = eq.assemble_operator_blocks(
                             solution, fields, bnd_values, dt * aii)
                         stage_blocks[aii] = blocks
-                    b = ring_apply(blocks, ring_j, x_i) - ps.pack(F(u_i))
+                    b = ring_apply(blocks, ring_j, x_i,
+                                   stencil=stencil) - ps.pack(F(u_i))
                 else:
                     blocks, f0 = assemble_affine_operator(
                         lambda x: ps.pack(F(ps.unpack(x))), x_i, eq.mesh,
@@ -366,6 +371,7 @@ class DIRKUForm(TimeIntegrator):
                                    // self.params.gmres_restart),
                     coarse=self.coarse,
                     x0=x_i,  # warm start from the previous level
+                    stencil=stencil,
                 ))
             else:
                 u_i = newton_solve(F, u_i, precond=eq.mass_inverse,
