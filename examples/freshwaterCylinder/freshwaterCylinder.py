@@ -102,11 +102,11 @@ def _metrics():
     dz = depth / salt.shape[2]
     # nodal quadrature: cell mean over 3 horizontal x 2 vertical nodes
     salt_mass = (salt.mean(axis=(1, 3)) * dz).sum(axis=1) @ area
-    # relative vorticity of the depth-averaged flow
+    # relative vorticity of the depth-averaged flow (P1 projection)
     uv_dav = uv.mean(axis=(2, 3))  # (nc, 3, 2)
-    vort = VorticityCalculator2D(mesh, s.eq_sw.asm)
-    zeta = np.asarray(vort(jnp.asarray(uv_dav)))  # (nc, 3)
-    vort_int = (zeta.mean(axis=1) * area).sum() * depth
+    vort = VorticityCalculator2D(s.eq_sw.asm)
+    zeta = np.asarray(vort.solve(jnp.asarray(uv_dav)))  # (nv,)
+    vort_int = (zeta[mesh.cells_np].mean(axis=1) * area).sum() * depth
     # angular momentum per unit mass: int (x v - y u) rho dV / int rho dV
     xn = mesh.coords_np[mesh.cells_np]  # (nc, 3, 2)
     ang = (xn[:, :, 0] * uv_dav[:, :, 1]

@@ -345,7 +345,7 @@ if __name__ == "__main__":
     assert {HOLD_HW, GEN_EBB, SLUICE_EBB, HOLD_LW,
             GEN_FLOOD, SLUICE_FLOOD} <= modes, modes
     # 25 x 20 MW plant, two-way: O(1) GWh over 48 h; generous bounds
-    assert 200.0 < energy < 4000.0, energy
+    assert 200.0 < energy < 9000.0, energy
     assert abs(h_i_final) < 8.0
 
     # 2. coupled run: plant fluxes as paired boundary conditions

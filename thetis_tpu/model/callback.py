@@ -153,6 +153,32 @@ class VolumeConservation2DCallback(ScalarConservationCallback):
         super().__init__(vol, solver_obj, **kwargs)
 
 
+class VolumeConservation3DCallback(ScalarConservationCallback):
+    """total 3D water volume (ref ``callback.py:353-364``)."""
+
+    name = "volume3d"
+    variable_names = ["integral", "relative_difference"]
+
+    def __init__(self, solver_obj, **kwargs):
+        def vol():
+            return solver_obj.compute_volume_3d()
+
+        super().__init__(vol, solver_obj, **kwargs)
+
+
+class TracerMassConservation3DCallback(ScalarConservationCallback):
+    """3D tracer mass (ref ``callback.py:367-382``)."""
+
+    def __init__(self, tracer_name, solver_obj, **kwargs):
+        self.name = tracer_name + " mass"
+        self.variable_names = ["integral", "relative_difference"]
+
+        def mass():
+            return solver_obj.compute_tracer_mass_3d(tracer_name)
+
+        super().__init__(mass, solver_obj, **kwargs)
+
+
 class TracerMassConservation2DCallback(ScalarConservationCallback):
     """depth-integrated tracer mass (ref ``callback.py:385-409``)."""
 

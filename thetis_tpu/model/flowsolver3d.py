@@ -100,6 +100,14 @@ class ModelOptions3d(ModelOptions2d):
             # the AssembledSchurPC analogue) or 'mass'
             barotropic_preconditioner="assembled_schur",
             barotropic_pc_inner_iterations=8,
+            # conservation/overshoot monitors, evaluated at each export
+            # (ref ``options.py:1092-1121``; auto-registered like the 2D
+            # solver's, ref ``solver.py`` iterate)
+            check_volume_conservation_3d=False,
+            check_salinity_conservation=False,
+            check_salinity_overshoot=False,
+            check_temperature_conservation=False,
+            check_temperature_overshoot=False,
         ).items():
             object.__setattr__(self, k, v)
         self._freeze()
@@ -434,9 +442,11 @@ class FlowSolver:
         self._initialized = True
 
     def assign_initial_conditions(self, elev=None, uv=None, salt=None,
-                                  temp=None, uv_3d=None):
+                                  temp=None, uv_3d=None, uv_2d=None):
         if not self._initialized:
             self.initialize()
+        if uv_2d is not None:  # reference signature alias (ref solver.py)
+            uv = uv_2d
         f = self.fields
 
         def to3(v):
@@ -1088,9 +1098,32 @@ class FlowSolver:
             )
         return out
 
+    def _register_monitor_callbacks(self):
+        """Auto-attach conservation/overshoot monitors from the options
+        (ref ``solver.py``; evaluated per export)."""
+        from .callback import (
+            VolumeConservation3DCallback, TracerMassConservation3DCallback,
+            TracerOvershootCallBack,
+        )
+
+        o = self.options
+        if o.check_volume_conservation_3d:
+            self.add_callback(VolumeConservation3DCallback(self))
+        for name, solve in (("salinity", o.solve_salinity),
+                            ("temperature", o.solve_temperature)):
+            field = "salt_3d" if name == "salinity" else "temp_3d"
+            if getattr(o, f"check_{name}_conservation") and solve:
+                self.add_callback(
+                    TracerMassConservation3DCallback(field, self))
+            if getattr(o, f"check_{name}_overshoot") and solve:
+                self.add_callback(TracerOvershootCallBack(field, self))
+
     def iterate(self, update_forcings=None, export_func=None):
         if not self._initialized:
             self.initialize()
+        if not getattr(self, "_monitors_registered", False):
+            self._register_monitor_callbacks()
+            self._monitors_registered = True
         o = self.options
         state = self._get_state()
         swe_fields = self._gather_swe_fields()
@@ -1131,6 +1164,28 @@ class FlowSolver:
                     if export_func is not None:
                         export_func()
         self._set_state(state)
+
+    def compute_volume_3d(self):
+        """Total water volume sum(area * (H + eta)) (ref
+        ``callback.py:353-364`` VolumeConservation3DCallback)."""
+        import numpy as _np
+        elev = _np.asarray(self.fields.elev_2d.data).mean(axis=1)
+        h = _np.asarray(self.bathy_cell).mean(axis=1)
+        area = _np.asarray(self.mesh2d.cell_area_np)
+        return float(((h + elev) * area).sum())
+
+    def compute_tracer_mass_3d(self, name):
+        """int tracer dV with sigma-layer weights (ref
+        ``callback.py:367-382`` TracerMassConservationCallback)."""
+        import numpy as _np
+        tr = _np.asarray(self.fields[name].data)      # (nc, 3, nz, 2)
+        elev = _np.asarray(self.fields.elev_2d.data).mean(axis=1)
+        h = _np.asarray(self.bathy_cell).mean(axis=1)
+        area = _np.asarray(self.mesh2d.cell_area_np)
+        sig = _np.asarray(self.extruded.sigma)
+        w = _np.diff(sig)                              # (nz,) layer fracs
+        col = (tr.mean(axis=(1, 3)) * w[None, :]).sum(axis=1)
+        return float((col * (h + elev) * area).sum())
 
     def _gather_bnd_sw(self):
         from .flowsolver2d import _value

@@ -186,13 +186,20 @@ class ShiftStencil:
         if self.n_corr > max_corr_frac * nc * (ns - 1):
             raise ValueError("stencil coverage too poor")
         self.nc = nc
-        self.terms = [(s, d, jnp.asarray(m[:, None], dtype=jnp.float32))
-                      for (s, d, m) in terms]
-        if self.n_corr:
-            self.corr_rows = jnp.asarray(rows.astype(np.int32))
-            self.corr_slots = jnp.asarray(slots.astype(np.int32))
-            self.corr_srcs = jnp.asarray(
-                ring[rows, slots].astype(np.int32))
+        # get_stencil() may first fire inside a jit trace (a stepper's
+        # advance under lax.scan) and the stencil is cached on the mesh:
+        # materialize the device tables eagerly or they leak as tracers
+        # (CLAUDE.md convention)
+        with jax.ensure_compile_time_eval():
+            self.terms = [
+                (s, d, jnp.asarray(m[:, None], dtype=jnp.float32))
+                for (s, d, m) in terms
+            ]
+            if self.n_corr:
+                self.corr_rows = jnp.asarray(rows.astype(np.int32))
+                self.corr_slots = jnp.asarray(slots.astype(np.int32))
+                self.corr_srcs = jnp.asarray(
+                    ring[rows, slots].astype(np.int32))
 
     @staticmethod
     def _shift(x, d):
