@@ -229,42 +229,137 @@ def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
     (d_uc, d_ug, d_ec, d_eg, d_uf, d_fg, d_ef) = out
     P = _NKC + 2 * _NKF
 
+    # The basis contractions below are fully unrolled multiply-adds on
+    # mesh-trailing (..., nc)/(..., nf) slabs.  The natural formulation —
+    # batched (7..9)x(7..9) einsums with the mesh axis leading — makes
+    # XLA relayout every operand into (8,128)-padded tiles on the two
+    # TINY minor axes (14-25x physical traffic): the whole assembly
+    # measured 141 ms/step on the 102k-cell v5e bench, >half the CN step.
+    # Unrolling over the value rows exploits their (field, derivative)
+    # block sparsity (each basis row holds one phi/grad column triple),
+    # so the slab op count stays ~10k and everything fuses.
+    #
+    # value rows (in AND out): [u, v, eta, du/dx, du/dy, dv/dx, dv/dy]
+    # (+ [deta/dx, deta/dy] on the cell out side only); packed dof layout
+    # [eta(3), u/v interleaved(6)].
+    IN_ROWS = [("U", 0), ("V", 0), ("E", 0),
+               ("U", 1), ("U", 2), ("V", 1), ("V", 2)]
+    OUT_ROWS_C = IN_ROWS + [("E", 1), ("E", 2)]
+    IN_BY_FIELD = {"U": [(0, 0), (3, 1), (4, 2)],
+                   "V": [(1, 0), (5, 1), (6, 2)],
+                   "E": [(2, 0)]}  # (value-row index, deriv) per field
+    FIELDS = ("U", "V", "E")
+
+    def pidx(F, m):
+        return m if F == "E" else 3 + 2 * m + (F == "V")
+
+    def _contract_T(jrow, beta_in, beta_out, w, out_rows, npts, d_out=9):
+        """Generic two-stage contraction on trailing-mesh slabs.
+
+        ``jrow(q, o, k)`` -> slab; ``beta_in/out(q, deriv, m)`` -> slab or
+        python scalar; ``w(q)`` -> slab.  Returns the (d_out, 9) block as
+        a nested list of slabs in packed dof order."""
+        D = [[None] * 9 for _ in range(d_out)]
+        for q in range(npts):
+            wq = w(q)
+            # stage 1: absorb the trial basis
+            S1 = {}
+            for o in range(len(out_rows)):
+                for B in FIELDS:
+                    for n in range(3):
+                        acc = None
+                        for k, db in IN_BY_FIELD[B]:
+                            t = jrow(q, o, k) * beta_in(q, db, n)
+                            acc = t if acc is None else acc + t
+                        S1[o, B, n] = acc
+            # stage 2: absorb the (weighted) test basis
+            for o, (A, da) in enumerate(out_rows):
+                for m in range(3):
+                    wb = wq * beta_out(q, da, m)
+                    I = pidx(A, m)
+                    for B in FIELDS:
+                        for n in range(3):
+                            t = wb * S1[o, B, n]
+                            Jj = pidx(B, n)
+                            D[I][Jj] = (t if D[I][Jj] is None
+                                        else D[I][Jj] + t)
+        return D
+
+    def _rows_to_blocks(D, lead_shape):
+        ref = next(x for row in D for x in row if x is not None)
+        flat = [x if x is not None else jnp.zeros_like(ref)
+                for row in D for x in row]
+        out = jnp.stack(flat)                            # (prod, batch)
+        return jnp.moveaxis(out, -1, 0).reshape(
+            (out.shape[-1],) + lead_shape)
+
     # ---- cell part ---------------------------------------------------
-    # out rows ordered [u, v, eta, du/dx.., dv/dy, deta/dx, deta/dy] to
-    # match the basis-matrix row layout (E7 then Eg2)
-    Jc = jnp.concatenate([
-        d_uc, d_ec[..., None], d_ug.reshape(P, nc, nq, 4), d_eg,
-    ], axis=-1).transpose(1, 2, 3, 0)[..., :_NKC]        # (nc,nq,9,7)
-    phi = jnp.broadcast_to(asm.space.phi.astype(dtype), (nc, nq, 3))
-    gphi = jnp.einsum("qdj,cji->cqdi", asm.space.dphi,
-                      mesh.Jinv).astype(dtype)           # (nc,nq,3,2)
-    Ein, Eg2 = _basis_rows(phi, gphi)                    # (nc,nq,7,9)
-    Eout = jnp.concatenate([Ein, Eg2], axis=-2) * \
-        asm.wdetJ.astype(dtype)[..., None, None]         # (nc,nq,9,9)
-    # chain of (batch, small, small) matmuls — no multi-operand einsum
-    tmp = jnp.einsum("cqok,cqkj->cqoj", Jc, Ein)
-    D = jnp.einsum("cqoi,cqoj->cij", Eout, tmp)
+    d_ucT = jnp.transpose(d_uc, (2, 3, 0, 1))        # (nq, 2, P, nc)
+    d_ecT = jnp.transpose(d_ec, (2, 0, 1))           # (nq, P, nc)
+    d_ugT = jnp.transpose(d_ug, (2, 3, 4, 0, 1))     # (nq, 2, 2, P, nc)
+    d_egT = jnp.transpose(d_eg, (2, 3, 0, 1))        # (nq, 2, P, nc)
+    gphiT = jnp.einsum("qdj,cji->qdic", asm.space.dphi,
+                       mesh.Jinv).astype(dtype)      # (nq, 3, 2, nc)
+    phi_np = np.asarray(asm.space.phi)
+    wdetJT = asm.wdetJ.astype(dtype).T               # (nq, nc)
+
+    def jrow_c(q, o, k):
+        if o < 2:
+            return d_ucT[q, o, k]
+        if o == 2:
+            return d_ecT[q, k]
+        if o < 7:
+            a, i = divmod(o - 3, 2)
+            return d_ugT[q, a, i, k]
+        return d_egT[q, o - 7, k]
+
+    def beta_c(q, d, m):
+        if d == 0:
+            return float(phi_np[q, m])
+        return gphiT[q, m, d - 1]
+
+    Dr = _contract_T(jrow_c, beta_c, beta_c, lambda q: wdetJT[q],
+                     OUT_ROWS_C, nq)
+    D = _rows_to_blocks(Dr, (9, 9))                  # (nc, 9, 9)
 
     # ---- facet part --------------------------------------------------
-    # out rows [u, v, eta, fgrad(4)]: uv_facet, eta_facet project with
-    # the value tabulation; uv_fgrad with the gradient tabulation — the
-    # same (E7) row structure as the in-map
-    Jf = jnp.concatenate([
-        d_uf, d_ef[..., None], d_fg.reshape(P, nf, 2, nqf, 4),
-    ], axis=-1).transpose(1, 2, 3, 4, 0)                 # (nf,2,nqf,7,P)
-    T = asm.both_tabs.astype(dtype)                      # (nf,2,nqf,3)
-    GT = asm.both_gtabs_c.astype(dtype)                  # (nf,2,nqf,3,2)
-    Einf, _ = _basis_rows(T, GT)                         # (nf,2,nqf,7,9)
-    Eoutf = Einf * asm.wlen.astype(dtype)[:, None, :, None, None]
+    # out rows [u, v, eta, fgrad(4)] — the E7 structure, no eta-grad
+    d_ufT = jnp.transpose(d_uf, (2, 3, 4, 0, 1))     # (2, nqf, 2, P, nf)
+    d_efT = jnp.transpose(d_ef, (2, 3, 0, 1))        # (2, nqf, P, nf)
+    d_fgT = jnp.transpose(d_fg, (2, 3, 4, 5, 0, 1))  # (2, nqf, 2, 2, P, nf)
+    T_T = jnp.transpose(asm.both_tabs.astype(dtype),
+                        (1, 2, 3, 0))                # (2, nqf, 3, nf)
+    GT_T = jnp.transpose(asm.both_gtabs_c.astype(dtype),
+                         (1, 2, 3, 4, 0))            # (2, nqf, 3, 2, nf)
+    wlenT = asm.wlen.astype(dtype).T                 # (nqf, nf)
 
-    def _facet_block(so, si):
-        Jsl = Jf[:, so, :, :, _NKC + si * _NKF:_NKC + (si + 1) * _NKF]
-        tmp = jnp.einsum("fqok,fqkj->fqoj", Jsl, Einf[:, si])
-        return jnp.einsum("fqoi,fqoj->fij", Eoutf[:, so], tmp)
+    def _facet_rows(so, si):
+        def jrow(q, o, kl):
+            k = _NKC + si * _NKF + kl
+            if o < 2:
+                return d_ufT[so, q, o, k]
+            if o == 2:
+                return d_efT[so, q, k]
+            a, i = divmod(o - 3, 2)
+            return d_fgT[so, q, a, i, k]
 
-    Bf = jnp.stack([
-        jnp.stack([_facet_block(so, si) for si in range(2)], axis=1)
-        for so in range(2)], axis=1)                     # (nf,2,2,9,9)
+        def bin_(q, d, m):
+            return T_T[si, q, m] if d == 0 else GT_T[si, q, m, d - 1]
+
+        def bout(q, d, m):
+            return T_T[so, q, m] if d == 0 else GT_T[so, q, m, d - 1]
+
+        return _contract_T(jrow, bin_, bout, lambda q: wlenT[q],
+                           IN_ROWS, nqf)
+
+    frows = [[_facet_rows(so, si) for si in range(2)] for so in range(2)]
+    flat_f = [
+        frows[so][si][i][j]
+        for so in range(2) for si in range(2)
+        for i in range(9) for j in range(9)
+    ]
+    Bf = jnp.moveaxis(jnp.stack(flat_f), -1, 0).reshape(
+        nf, 2, 2, 9, 9)
 
     # ---- gather facet blocks into ring slots -------------------------
     cf = jnp.asarray(mesh.cell_facets)                   # (nc, 3)

@@ -279,22 +279,31 @@ def batched_inv_small(A):
 
     XLA's batched ``linalg.inv`` lowers to a LAPACK-style loop that is
     very slow on TPU (a batched 6x6 inverse measured 65 ms on v5e,
-    CLAUDE.md); d elimination sweeps of elementwise (n, d, d) ops run in
-    microseconds instead.  Pivotless is safe here: the blocks are
-    theta-weighted mass + jump-penalty matrices whose diagonal stays
-    positive and dominant."""
+    CLAUDE.md).  The elimination is fully unrolled on batch-trailing
+    (n,) slabs: materializing (n, d, 2d) intermediates puts the two tiny
+    dims on the padded (8,128) tile axes (measured 12.9 ms at d=9,
+    n=102k vs ~1 ms for the slab form).  Pivotless is safe here: the
+    blocks are theta-weighted mass + jump-penalty matrices whose
+    diagonal stays positive and dominant."""
     n, d, _ = A.shape
-    M = jnp.concatenate([A, jnp.broadcast_to(jnp.eye(d, dtype=A.dtype),
-                                             A.shape)], axis=-1)
-
-    def sweep(k, M):
-        piv = M[:, k, :] / M[:, k, k][:, None]          # (n, 2d)
-        factors = M[:, :, k]                            # (n, d)
-        M = M - factors[:, :, None] * piv[:, None, :]
-        return M.at[:, k, :].set(piv)
-
-    M = jax.lax.fori_loop(0, d, sweep, M)
-    return M[:, :, d:]
+    # M as a d x 2d grid of (n,) slabs, batch axis trailing
+    AT = jnp.transpose(A, (1, 2, 0))                     # (d, d, n)
+    one = jnp.ones((n,), dtype=A.dtype)
+    zero = jnp.zeros((n,), dtype=A.dtype)
+    M = [[AT[i, j] for j in range(d)]
+         + [one if j == i else zero for j in range(d)]
+         for i in range(d)]
+    for k in range(d):
+        inv_piv = 1.0 / M[k][k]
+        piv = [M[k][j] * inv_piv for j in range(2 * d)]
+        for i in range(d):
+            if i == k:
+                continue
+            f = M[i][k]
+            M[i] = [M[i][j] - f * piv[j] for j in range(2 * d)]
+        M[k] = piv
+    out = jnp.stack([jnp.stack(M[i][d:]) for i in range(d)])  # (d, d, n)
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def aggregate_cells(mesh, target_size=96):
