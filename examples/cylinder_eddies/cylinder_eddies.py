@@ -49,20 +49,23 @@ def make_cylinder_mesh(dx=250.0):
         np.stack([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)], axis=1),
         np.stack([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)], axis=1),
     ], axis=0)
-    # remove cells whose centroid falls inside the cylinder
+    # remove cells whose centroid falls inside the cylinder; the hole rim
+    # (vertices shared by kept and removed cells) snaps onto the circle
     mids = coords[tri].mean(axis=1)
     keep = (mids ** 2).sum(axis=1) > CYL_R ** 2
+    rim_ids = np.intersect1d(np.unique(tri[keep]), np.unique(tri[~keep]))
     tri = tri[keep]
+    r = np.sqrt((coords ** 2).sum(axis=1))
+    rim = np.zeros(len(coords), dtype=bool)
+    rim[rim_ids] = True
+    rim &= r > 1e-9
+    scale = np.where(rim, CYL_R / np.maximum(r, 1e-12), 1.0)
+    coords = coords * scale[:, None]
     used = np.unique(tri)
     remap = np.full(len(coords), -1, dtype=np.int64)
     remap[used] = np.arange(len(used))
     coords = coords[used]
     tri = remap[tri]
-    # snap rim vertices (closer than one cell to the circle) onto it
-    r = np.sqrt((coords ** 2).sum(axis=1))
-    rim = (r > CYL_R * 0.25) & (r < CYL_R + 1.01 * dx)
-    scale = np.where(rim, CYL_R / np.maximum(r, 1e-12), 1.0)
-    coords = coords * scale[:, None]
 
     eps = 1e-6
 

@@ -360,3 +360,28 @@ def test_shift_stencil_matches_gather(periodic):
     y_shift = ring_apply(blocks, jnp.asarray(ring), x, stencil=st)
     np.testing.assert_allclose(np.asarray(y_shift), np.asarray(y_gather),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_assembly_shared_residual_matches():
+    """``assemble_swe_blocks(return_residual=True)`` must return the same
+    residual as a direct ``eq.residual`` evaluation (it is projected from
+    the linearization primal, so this guards the projection tail)."""
+    from thetis_tpu.equations.swe_blocks import assemble_swe_blocks
+
+    bnd = {1: {"elev": 0.3}, 2: {"un": 0.2}, 3: {"flux": -150.0}}
+    mesh, asm, eq = _make(False, bnd=bnd, eq_cls=ShallowWaterEquations,
+                          nx=8, ny=4)
+    rng = np.random.default_rng(12)
+    state = swe_state(jnp.asarray(rng.normal(0, 0.3, (mesh.nc, 3, 2))),
+                      jnp.asarray(rng.normal(0, 0.2, (mesh.nc, 3))))
+    fields = {"lax_friedrichs_velocity_scaling_factor": jnp.asarray(1.0),
+              "quadratic_drag_coefficient": jnp.asarray(2.5e-3)}
+    _, r_shared = assemble_swe_blocks(eq, state, fields, bnd, 30.0,
+                                      return_residual=True)
+    r_direct = eq.residual("all", state, state, fields, fields, bnd)
+    np.testing.assert_allclose(np.asarray(r_shared["uv"]),
+                               np.asarray(r_direct["uv"]),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(r_shared["elev"]),
+                               np.asarray(r_direct["elev"]),
+                               rtol=1e-12, atol=1e-13)

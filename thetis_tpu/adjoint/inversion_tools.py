@@ -201,12 +201,21 @@ class InversionManager:
         self.progress = {"J": [], "controls": []}
         self.no_exports = no_exports
 
-    def add_control(self, name, initial_value, regularization=None):
+    def add_control(self, name, initial_value, regularization=None,
+                    mapping=None):
         """:arg name: a control name understood by
-        ``FlowSolver2d.differentiable_forward``"""
+        ``FlowSolver2d.differentiable_forward``
+        :kwarg mapping: optional differentiable map from the control
+            value to the solver field (the reference's ``ControlManager``
+            region-mask / independent-points parameterisations, ref
+            ``inversion_tools.py:47-150``): the optimiser sees the raw
+            (typically low-dimensional) control, the model the mapped
+            field.  Regularization applies to the RAW control."""
         self.control_names.append(name)
         self.controls.append(Control(initial_value, name=name))
         self.regularizations.append(regularization)
+        self.control_mappings = getattr(self, "control_mappings", [])
+        self.control_mappings.append(mapping)
 
     def get_cost_function(self, n_steps):
         """Builds J(controls) = sum_t sum_s (model-obs)^2 dt + sum reg
@@ -218,9 +227,13 @@ class InversionManager:
             self.control_names, step_functional=step_f, n_steps=n_steps
         )
         regs = self.regularizations
+        maps = getattr(self, "control_mappings",
+                       [None] * len(self.controls))
 
         def J(*control_values):
-            out = fwd(*control_values) * self.scaling
+            mapped = [m(c) if m is not None else c
+                      for m, c in zip(maps, control_values)]
+            out = fwd(*mapped) * self.scaling
             for reg, c in zip(regs, control_values):
                 if reg is not None:
                     out = out + self.scaling * reg(c)

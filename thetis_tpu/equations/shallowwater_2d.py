@@ -694,7 +694,7 @@ class ShallowWaterEquations(EquationBase):
         return swe_state(asm.mass_inverse(r["uv"]), asm.mass_inverse(r["elev"]))
 
     def assemble_operator_blocks(self, u_lag, fields, bnd_values, coeff,
-                                 mass_scale=1.0):
+                                 mass_scale=1.0, return_residual=False):
         """Exact ring blocks of ``mass_scale*M - coeff*dR/du`` at the
         semi-implicit linearization, assembled analytically in value
         space (:func:`~thetis_tpu.equations.swe_blocks.assemble_swe_blocks`
@@ -703,7 +703,8 @@ class ShallowWaterEquations(EquationBase):
         from .swe_blocks import assemble_swe_blocks
 
         return assemble_swe_blocks(self, u_lag, fields, bnd_values, coeff,
-                                   mass_scale=mass_scale)
+                                   mass_scale=mass_scale,
+                                   return_residual=return_residual)
 
 
 class ModeSplit2DEquations(ShallowWaterEquations):

@@ -342,11 +342,12 @@ class CoarseCorrection:
     def __init__(self, blocks, ring, mesh, target_size=None):
         nc_total, _, d0, _ = blocks.shape
         if target_size is None:
-            # cap the coarse dimension at ~2048 so the dense inverse stays
-            # a small graph constant (the remote TPU compiler rejects
-            # multi-hundred-MB embedded constants) while the aggregate
-            # diameter grows with the mesh
-            target_size = max(64, int(np.ceil(nc_total * d0 / 2048.0)))
+            # cap the coarse dimension at ~4096 (dense inverse = 67 MB
+            # f32 graph constant — still well under the remote compiler's
+            # upload limit) while the aggregate diameter grows with the
+            # mesh; a finer coarse space cuts Krylov iterations at large
+            # mesh sizes where block-Jacobi alone needs O(diameter)
+            target_size = max(48, int(np.ceil(nc_total * d0 / 4096.0)))
         agg, n_agg = aggregate_cells(mesh, target_size)
         nc, _, d, _ = blocks.shape
         self.agg = jnp.asarray(agg)

@@ -175,12 +175,17 @@ class CrankNicolson(TimeIntegrator):
                 # analytic value-space assembly (equations/swe_blocks.py):
                 # a small multiple of one residual evaluation, vs
                 # n_colors*9 dof probes for generic color probing
-                blocks = eq.assemble_operator_blocks(
-                    u_lag, fields, bnd_values, th * dt)
                 if fields is fields_old and linearization_state is None:
-                    # r_impl(u_old) == r_expl: F(u_old) = -dt * r_expl
-                    F_old = _tree_lc([(-dt, r_expl)])
+                    # r_impl(u_old) == r_expl: F(u_old) = -dt * r_expl,
+                    # with r_expl projected from the assembly's own
+                    # linearization primal (no separate residual pass)
+                    blocks, r_lag = eq.assemble_operator_blocks(
+                        u_lag, fields, bnd_values, th * dt,
+                        return_residual=True)
+                    F_old = _tree_lc([(-dt, r_lag)])
                 else:
+                    blocks = eq.assemble_operator_blocks(
+                        u_lag, fields, bnd_values, th * dt)
                     F_old = F(u_old)
                 b = ring_apply(blocks, ring_j, x_old,
                                stencil=stencil) - ps.pack(F_old)
