@@ -44,6 +44,68 @@ class Assembler3D:
         self.dpsi = jnp.asarray(np.array([[-1.0, 1.0]] * len(t)))  # (nqv, 2)
         self.nq = len(asm2d.space._tab_np["qw"])
         self.nqf = len(asm2d.space._tab_np["qwf"])
+        # host-scalar tabulations: the evaluation/projection contractions
+        # below unroll over them (tiny-minor-axis einsums make XLA pad
+        # every operand onto (8,128) tiles — the uniform ~5-7 ms/phase
+        # tax in the round-3 3D profile came from exactly this)
+        t2 = asm2d.space._tab_np
+        self._phi_h = np.asarray(t2["phi"])        # (nq, 3)
+        self._dphi_h = np.asarray(t2["dphi"])      # (nq, 3, 2)
+        self._qw_h = np.asarray(t2["qw"])          # (nq,)
+        self._qwf_h = np.asarray(t2["qwf"])        # (nqf,)
+        self._psi_h = np.stack([1 - t, t], axis=1)         # (nqv, 2)
+        self._dpsi_h = np.array([[-1.0, 1.0]] * len(t))    # (nqv, 2)
+        self._wv_h = wv
+
+    # -- unrolled contraction helpers ---------------------------------
+    @staticmethod
+    def _stack_lead2(rows, n1, n2):
+        """rows: flat list (n1*n2) of (B, L, ...) slabs ->
+        (B, L, n1, n2, ...)."""
+        out = jnp.stack(rows)                       # (n1*n2, B, L, ...)
+        out = jnp.moveaxis(out, 0, 2)               # (B, L, n1*n2, ...)
+        return out.reshape(out.shape[:2] + (n1, n2) + out.shape[3:])
+
+    def _eval_qv(self, u, htab, vtab):
+        """out[b, l, q, v, ...] = sum_{d,p} htab[q,d] vtab[v,p]
+        u[b, d, l, p, ...], unrolled with host-scalar tabs."""
+        nq, nd = htab.shape
+        nqv, npp = vtab.shape
+        rows = []
+        for q in range(nq):
+            for v in range(nqv):
+                acc = None
+                for d in range(nd):
+                    for pp in range(npp):
+                        w = float(htab[q, d] * vtab[v, pp])
+                        if w == 0.0:
+                            continue
+                        term = w * u[:, d, :, pp]
+                        acc = term if acc is None else acc + term
+                rows.append(acc)
+        return self._stack_lead2(rows, nq, nqv)
+
+    def _project_qv(self, accw_qv, htab, vtab):
+        """Adjoint of :meth:`_eval_qv` on pre-weighted (q, v) slabs:
+        ``accw_qv[q][v]`` (B, L, ...) -> (B, nd, L, npp, ...)."""
+        nq, nd = htab.shape
+        nqv, npp = vtab.shape
+        rows = []
+        for d in range(nd):
+            for pp in range(npp):
+                acc = None
+                for q in range(nq):
+                    for v in range(nqv):
+                        w = float(htab[q, d] * vtab[v, pp])
+                        if w == 0.0:
+                            continue
+                        term = w * accw_qv[q][v]
+                        acc = term if acc is None else acc + term
+                rows.append(acc)
+        out = jnp.stack(rows)                      # (nd*npp, B, L, ...)
+        out = jnp.moveaxis(out, 0, 1)              # (B, nd*npp, L, ...)
+        out = out.reshape(out.shape[:1] + (nd, npp) + out.shape[2:])
+        return jnp.moveaxis(out, 2, 3)             # (B, nd, L, npp, ...)
 
     # -- geometry --------------------------------------------------------
     def layer_geometry(self, z_interfaces):
@@ -79,38 +141,73 @@ class Assembler3D:
     # -- evaluation ------------------------------------------------------
     def cell_values(self, u):
         """(nc, 3, nz, 2[, k]) -> (nc, nz, nq, nqv[, k])."""
-        return jnp.einsum(
-            "qd,vp,cdlp...->clqv...", self.asm2d.space.phi, self.psi, u
-        )
+        return self._eval_qv(u, self._phi_h, self._psi_h)
 
     def cell_grads(self, u, geom):
         """Full physical gradient: (..., 3) with components (d/dx, d/dy,
         d/dz)."""
-        asm = self.asm2d
-        # reference-horizontal derivative at fixed s
-        gh = jnp.einsum(
-            "qdj,cji,vp,cdlp...->clqv...i",
-            asm.space.dphi, self.mesh.Jinv, self.psi, u,
-        )  # (nc, nz, nq, nqv, ..., 2)
-        dds = jnp.einsum(
-            "qd,vp,cdlp...->clqv...", asm.space.phi, self.dpsi, u
-        )
-        Delta = geom["Delta_q"][:, :, :, None]  # (nc,nz,nq,1)
-        Dx = _wx(Delta, dds, 4)
-        dfdz = dds / Dx
-        dzdx = geom["dzdx_q"]  # (nc,nz,nq,nqv,2)
-        extra = dds.ndim - 4
-        dzdx_b = dzdx.reshape(dzdx.shape[:4] + (1,) * extra + (2,))
-        ghx = gh - dfdz[..., None] * dzdx_b
-        return jnp.concatenate([ghx, dfdz[..., None]], axis=-1)
+        # reference-horizontal derivative at fixed s: per (q, v) slab
+        # sums over host-scalar tabs; Jinv enters as (nc,) slab factors
+        nq, nqv = self.nq, len(self.qv_np)
+        Jinv = self.mesh.Jinv                       # (nc, 2, 2)
+        extra = u.ndim - 4
+        rows = []
+        for q in range(nq):
+            for v in range(nqv):
+                # dref[j] = sum_{d,p} dphi[q,d,j] psi[v,p] u[:,d,:,p]
+                dref = []
+                for j in range(2):
+                    acc = None
+                    for d in range(3):
+                        for pp in range(2):
+                            w = float(self._dphi_h[q, d, j]
+                                      * self._psi_h[v, pp])
+                            if w == 0.0:
+                                continue
+                            term = w * u[:, d, :, pp]
+                            acc = term if acc is None else acc + term
+                    dref.append(acc)
+                dds = None
+                for d in range(3):
+                    for pp in range(2):
+                        w = float(self._phi_h[q, d] * self._dpsi_h[v, pp])
+                        if w == 0.0:
+                            continue
+                        term = w * u[:, d, :, pp]
+                        dds = term if dds is None else dds + term
+                Dx = geom["Delta_q"][:, :, q].reshape(
+                    geom["Delta_q"].shape[:2] + (1,) * extra)
+                dfdz = dds / Dx
+                comps = []
+                for i in range(2):
+                    gh_i = None
+                    for j in range(2):
+                        t = Jinv[:, j, i].reshape(
+                            (-1,) + (1,) * (1 + extra)) * dref[j]
+                        gh_i = t if gh_i is None else gh_i + t
+                    dzdx_i = geom["dzdx_q"][:, :, q, v, i].reshape(
+                        geom["dzdx_q"].shape[:2] + (1,) * extra)
+                    comps.append(gh_i - dfdz * dzdx_i)
+                comps.append(dfdz)
+                rows.append(jnp.stack(comps, axis=-1))
+        return self._stack_lead2(rows, nq, nqv)
 
     def interface_values(self, u):
         """Values at layer interfaces, horizontal quad points:
         returns (below, above): each (nc, nz+1, nq[, k]); at the bottom
         boundary 'below' duplicates 'above' and vice versa at the top."""
-        phi = self.asm2d.space.phi
-        top = jnp.einsum("qd,cdl...->clq...", phi, u[:, :, :, 1])   # top of each layer
-        bot = jnp.einsum("qd,cdl...->clq...", phi, u[:, :, :, 0])
+        def hq(ud):
+            rows = []
+            for q in range(self.nq):
+                acc = None
+                for d in range(3):
+                    term = float(self._phi_h[q, d]) * ud[:, d]
+                    acc = term if acc is None else acc + term
+                rows.append(acc)
+            return jnp.moveaxis(jnp.stack(rows), 0, 2)  # (nc, nz, nq, ...)
+
+        top = hq(u[:, :, :, 1])
+        bot = hq(u[:, :, :, 0])
         below = jnp.concatenate([bot[:, :1], top], axis=1)   # (nc, nz+1, ...)
         above = jnp.concatenate([bot, top[:, -1:]], axis=1)
         return below, above
@@ -119,13 +216,25 @@ class Assembler3D:
         """Vertical-facet traces: (nc,3,nz,2[,k]) -> (nf,2,nz,nqf,nqv[,k])."""
         asm = self.asm2d
         mesh = self.mesh
+        nqf, nqv = self.nqf, len(self.qv_np)
         out = []
         for sde in (0, 1):
             cd = u[mesh.facet_cells[:, sde]]  # (nf, 3, nz, 2, ...)
             tab = asm.space.phi_f[mesh.facet_variant[:, sde]]  # (nf,nqf,3)
-            out.append(
-                jnp.einsum("fqd,vp,fdlp...->flqv...", tab, self.psi, cd)
-            )
+            extra = cd.ndim - 4
+            rows = []
+            for q in range(nqf):
+                for v in range(nqv):
+                    acc = None
+                    for d in range(3):
+                        tb = tab[:, q, d].reshape(
+                            (-1,) + (1,) * (1 + extra))
+                        for pp in range(2):
+                            w = float(self._psi_h[v, pp])
+                            term = (w * tb) * cd[:, d, :, pp]
+                            acc = term if acc is None else acc + term
+                    rows.append(acc)
+            out.append(self._stack_lead2(rows, nqf, nqv))
         return jnp.stack(out, axis=1)
 
     def _facet_side_geom(self, sde, geom):
@@ -155,45 +264,89 @@ class Assembler3D:
         """Horizontal physical gradients of both-side traces at
         vertical-facet quad points (sigma-coordinate chain rule):
         (nc,3,nz,2[,k]) -> (nf,2,nz,nqf,nqv[,k],2)."""
+        nqf, nqv = self.nqf, len(self.qv_np)
         out = []
         for sde in (0, 1):
             cidx, tab, dtabJ, D_tr, dzdx_f = self._facet_side_geom(sde, geom)
             cd = u[cidx]  # (nf, 3, nz, 2, ...)
-            gh = jnp.einsum("fqdi,vp,fdlp...->flqv...i", dtabJ, self.psi, cd)
-            dds = jnp.einsum("fqd,vp,fdlp...->flqv...", tab, self.dpsi, cd)
-            Dx = _wx(D_tr[:, :, :, None], dds, 4)
-            dfdz = dds / Dx
-            extra = dds.ndim - 4
-            dzdx_b = dzdx_f.reshape(dzdx_f.shape[:4] + (1,) * extra + (2,))
-            out.append(gh - dfdz[..., None] * dzdx_b)
+            extra = cd.ndim - 4
+            rows = []
+            for q in range(nqf):
+                for v in range(nqv):
+                    gh = [None, None]
+                    dds = None
+                    for d in range(3):
+                        tb = tab[:, q, d].reshape(
+                            (-1,) + (1,) * (1 + extra))
+                        dt = [dtabJ[:, q, d, i].reshape(
+                            (-1,) + (1,) * (1 + extra)) for i in range(2)]
+                        for pp in range(2):
+                            wpsi = float(self._psi_h[v, pp])
+                            wdps = float(self._dpsi_h[v, pp])
+                            ud = cd[:, d, :, pp]
+                            for i in range(2):
+                                term = (wpsi * dt[i]) * ud
+                                gh[i] = term if gh[i] is None                                     else gh[i] + term
+                            t2 = (wdps * tb) * ud
+                            dds = t2 if dds is None else dds + t2
+                    Dx = D_tr[:, :, q].reshape(
+                        D_tr.shape[:2] + (1,) * extra)
+                    dfdz = dds / Dx
+                    comps = []
+                    for i in range(2):
+                        dz_i = dzdx_f[:, :, q, v, i].reshape(
+                            dzdx_f.shape[:2] + (1,) * extra)
+                        comps.append(gh[i] - dfdz * dz_i)
+                    rows.append(jnp.stack(comps, axis=-1))
+            out.append(self._stack_lead2(rows, nqf, nqv))
         return jnp.stack(out, axis=1)
 
     def vfacet_grad_to_dofs(self, acc, geom):
         """Vertical-facet accumulator tested against the *horizontal
         gradient* of the test traces (sigma chain rule included):
         (nf, 2, nz, nqf, nqv[, k], 2) -> (nc, 3, nz, 2[, k])."""
-        asm = self.asm2d
         mesh = self.mesh
+        nqf, nqv = self.nqf, len(self.qv_np)
         sides = []
         for sde in (0, 1):
             cidx, tab, dtabJ, D_tr, dzdx_f = self._facet_side_geom(sde, geom)
-            w = (
-                asm.space.qwf[None, None, :, None]
-                * mesh.facet_len[:, None, None, None]
-                * D_tr[..., None]
-                * self.wv
-            )  # (nf, nz, nqf, nqv)
-            a = acc[:, sde]
-            aw = a * _wx(w[..., None], a, 5)
-            t1 = jnp.einsum("flqv...i,fqdi,vp->fdlp...", aw, dtabJ, self.psi)
+            a = acc[:, sde]                    # (nf, nz, nqf, nqv, .., 2)
             extra = a.ndim - 5
-            dzdx_b = dzdx_f.reshape(dzdx_f.shape[:4] + (1,) * extra + (2,))
-            Dx = D_tr[:, :, :, None].reshape(
-                D_tr.shape + (1,) * (1 + extra)
-            )
-            corr = (aw * dzdx_b).sum(-1) / Dx
-            t2 = jnp.einsum("flqv...,fqd,vp->fdlp...", corr, tab, self.dpsi)
-            sides.append(t1 - t2)
+            rows = []
+            for d in range(3):
+                for pp in range(2):
+                    out = None
+                    for q in range(nqf):
+                        Dq = D_tr[:, :, q].reshape(
+                            a.shape[:2] + (1,) * extra)
+                        wbase = (float(self._qwf_h[q])
+                                 * mesh.facet_len)[:, None].reshape(
+                            (-1, 1) + (1,) * extra) * Dq
+                        tb = tab[:, q, d].reshape(
+                            (-1,) + (1,) * (1 + extra))
+                        dt = [dtabJ[:, q, d, i].reshape(
+                            (-1,) + (1,) * (1 + extra)) for i in range(2)]
+                        for v in range(nqv):
+                            av = a[:, :, q, v]
+                            wv = float(self._wv_h[v])
+                            wpsi = float(self._psi_h[v, pp])
+                            wdps = float(self._dpsi_h[v, pp])
+                            t1 = (wv * wpsi) * (
+                                dt[0] * av[..., 0] + dt[1] * av[..., 1])
+                            dz0 = dzdx_f[:, :, q, v, 0].reshape(
+                                a.shape[:2] + (1,) * extra)
+                            dz1 = dzdx_f[:, :, q, v, 1].reshape(
+                                a.shape[:2] + (1,) * extra)
+                            corr = (av[..., 0] * dz0
+                                    + av[..., 1] * dz1) / Dq
+                            t2 = (wv * wdps) * tb * corr
+                            term = wbase * (t1 - t2)
+                            out = term if out is None else out + term
+                    rows.append(out)
+            side = jnp.stack(rows)
+            side = jnp.moveaxis(side, 0, 1)
+            side = side.reshape(side.shape[:1] + (3, 2) + side.shape[2:])
+            sides.append(jnp.moveaxis(side, 2, 3))
         contrib = jnp.stack(sides, axis=1)  # (nf, 2, 3, nz, 2, ...)
         g = contrib[mesh.cell_facets, mesh.cell_sides]
         return g.sum(axis=1)
@@ -205,38 +358,67 @@ class Assembler3D:
         w2 = asm.space.qw[None, None, :] * self.mesh.detJ[:, None, None]
         return w2[..., None] * geom["Delta_q"][..., None] * self.wv
 
+    def _wq_slab(self, geom, q, v):
+        """(nc, nz) quadrature-weight slab for cell point (q, v)."""
+        w0 = float(self._qw_h[q] * self._wv_h[v])
+        return (w0 * self.mesh.detJ)[:, None] * geom["Delta_q"][:, :, q]
+
     def cell_to_dofs(self, acc, geom):
         """(nc, nz, nq, nqv[, k]) -> (nc, 3, nz, 2[, k])."""
-        accw = acc * _wx(self.wq(geom), acc, 4)
-        return jnp.einsum(
-            "clqv...,qd,vp->cdlp...", accw, self.asm2d.space.phi, self.psi
-        )
+        extra = acc.ndim - 4
+        accw = [[
+            acc[:, :, q, v] * self._wq_slab(geom, q, v).reshape(
+                acc.shape[:2] + (1,) * extra)
+            for v in range(acc.shape[3])] for q in range(acc.shape[2])]
+        return self._project_qv(accw, self._phi_h, self._psi_h)
 
     def grad_to_dofs(self, acc, geom):
-        """(nc, nz, nq, nqv[, k], 3) tested against grad(test)."""
-        accw = acc * _wx(self.wq(geom)[..., None], acc, 5)
-        asm = self.asm2d
-        acc_h = accw[..., 0:2]
-        acc_z = accw[..., 2]
-        # d test/dx_i = dphi Jinv psi - phi (dz/dx / Delta) dpsi;  d/dz =
-        # phi dpsi / Delta
-        r = jnp.einsum(
-            "clqv...i,qdj,cji,vp->cdlp...",
-            acc_h, asm.space.dphi, self.mesh.Jinv, self.psi,
-        )
-        Delta = geom["Delta_q"][:, :, :, None]
-        dzdx = geom["dzdx_q"]
-        extra = acc_z.ndim - 4
-        dzdx_b = dzdx.reshape(dzdx.shape[:4] + (1,) * extra + (2,))
-        Dx = Delta.reshape(Delta.shape + (1,) * extra)
-        sigma_corr = (acc_h * dzdx_b).sum(-1) / Dx
-        r = r - jnp.einsum(
-            "clqv...,qd,vp->cdlp...", sigma_corr, asm.space.phi, self.dpsi
-        )
-        r = r + jnp.einsum(
-            "clqv...,qd,vp->cdlp...", acc_z / Dx, asm.space.phi, self.dpsi
-        )
-        return r
+        """(nc, nz, nq, nqv[, k], 3) tested against grad(test).
+
+        d test/dx_i = dphi Jinv psi - phi (dz/dx / Delta) dpsi;
+        d/dz = phi dpsi / Delta."""
+        nq, nqv = acc.shape[2], acc.shape[3]
+        Jinv = self.mesh.Jinv
+        extra = acc.ndim - 5
+        rows = []
+        for d in range(3):
+            for pp in range(2):
+                out = None
+                for q in range(nq):
+                    for v in range(nqv):
+                        wq = self._wq_slab(geom, q, v).reshape(
+                            acc.shape[:2] + (1,) * extra)
+                        a = acc[:, :, q, v]           # (nc, nz[, k], 3)
+                        Dx = geom["Delta_q"][:, :, q].reshape(
+                            acc.shape[:2] + (1,) * extra)
+                        wpsi = float(self._psi_h[v, pp])
+                        wdps = float(self._dpsi_h[v, pp])
+                        # horizontal: sum_i a_i * (dphi Jinv)_i
+                        term = None
+                        for i in range(2):
+                            coef = None
+                            for j in range(2):
+                                cj = float(self._dphi_h[q, d, j])                                     * Jinv[:, j, i]
+                                coef = cj if coef is None else coef + cj
+                            t = (wpsi * coef.reshape(
+                                (-1,) + (1,) * (1 + extra))) * a[..., i]
+                            term = t if term is None else term + t
+                        # sigma correction + vertical part, both through
+                        # phi dpsi / Delta
+                        sig = (a[..., 0] * geom["dzdx_q"][:, :, q, v, 0]
+                               .reshape(acc.shape[:2] + (1,) * extra)
+                               + a[..., 1] * geom["dzdx_q"][:, :, q, v, 1]
+                               .reshape(acc.shape[:2] + (1,) * extra))
+                        wphi = float(self._phi_h[q, d])
+                        term = term + (wdps * wphi) * (
+                            (a[..., 2] - sig) / Dx)
+                        term = term * wq
+                        out = term if out is None else out + term
+                rows.append(out)
+        out = jnp.stack(rows)                  # (6, nc, nz, ...)
+        out = jnp.moveaxis(out, 0, 1)
+        out = out.reshape(out.shape[:1] + (3, 2) + out.shape[2:])
+        return jnp.moveaxis(out, 2, 3)
 
     def vfacet_to_dofs(self, acc, geom):
         """Vertical-facet accumulator (nf, 2, nz, nqf, nqv[, k]) tested
@@ -247,23 +429,39 @@ class Assembler3D:
         points -- exact for matching interfaces)."""
         asm = self.asm2d
         mesh = self.mesh
+        nqf, nqv = self.nqf, len(self.qv_np)
         # layer thickness along the facet: trace of Delta_nodes
         Dn = geom["Delta_nodes"]  # (nc, 3, nz)
         sides = []
         for sde in (0, 1):
             tab = asm.space.phi_f[mesh.facet_variant[:, sde]]  # (nf,nqf,3)
-            D_tr = jnp.einsum("fqd,fdl->flq", tab, Dn[mesh.facet_cells[:, sde]])
-            w = (
-                asm.space.qwf[None, None, :, None]
-                * mesh.facet_len[:, None, None, None]
-                * D_tr[..., None]
-                * self.wv
-            )  # (nf, nz, nqf, nqv)
-            a = acc[:, sde]
-            aw = a * _wx(w, a, 4)
-            sides.append(
-                jnp.einsum("flqv...,fqd,vp->fdlp...", aw, tab, self.psi)
-            )
+            Dnf = Dn[mesh.facet_cells[:, sde]]       # (nf, 3, nz)
+            a = acc[:, sde]                          # (nf, nz, nqf, nqv, ..)
+            extra = a.ndim - 4
+            rows = []
+            for d in range(3):
+                for pp in range(2):
+                    out = None
+                    for q in range(nqf):
+                        D_tr = None
+                        for dd in range(3):
+                            t = tab[:, q, dd, None] * Dnf[:, dd]
+                            D_tr = t if D_tr is None else D_tr + t
+                        wbase = (float(self._qwf_h[q])
+                                 * mesh.facet_len)[:, None] * D_tr
+                        wbase = wbase.reshape(
+                            a.shape[:2] + (1,) * extra)  # (nf, nz, 1..)
+                        tb = tab[:, q, d].reshape(
+                            (-1,) + (1,) * (1 + extra))
+                        for v in range(nqv):
+                            w = float(self._wv_h[v] * self._psi_h[v, pp])
+                            term = (w * tb) * (wbase * a[:, :, q, v])
+                            out = term if out is None else out + term
+                    rows.append(out)
+            side = jnp.stack(rows)                   # (6, nf, nz, ...)
+            side = jnp.moveaxis(side, 0, 1)
+            side = side.reshape(side.shape[:1] + (3, 2) + side.shape[2:])
+            sides.append(jnp.moveaxis(side, 2, 3))   # (nf, 3, nz, 2, ..)
         contrib = jnp.stack(sides, axis=1)  # (nf, 2, 3, nz, 2, ...)
         g = contrib[mesh.cell_facets, mesh.cell_sides]  # (nc,3,3,nz,2,...)
         return g.sum(axis=1)
@@ -274,19 +472,25 @@ class Assembler3D:
         -> (nc, 3, nz, 2[, k]).  Area element = horizontal detJ2 * qw
         (interfaces are projected; consistent with the sigma-coordinate
         vertical-flux convention)."""
-        asm = self.asm2d
-        w2 = asm.space.qw[None, None, :] * self.mesh.detJ[:, None, None]
-        out = 0.0
+        detJ = self.mesh.detJ
         # below-trace = top of layer l-1 -> tested against dofs (l-1, top)
-        ab = acc_below[:, 1:]  # contributions on interfaces 1..nz ->
-        # interfaces 0..nz-1 from below are the layer tops  (interface i
-        # belongs to top of layer i-1); interface 0 has no below side
-        abw = ab * _wx(w2, ab, 3)
-        r_top = jnp.einsum("clq...,qd->cdl...", abw, asm.space.phi)
-        aa = acc_above[:, :-1]  # interfaces 0..nz-1, above side = bottom of layer l
-        aaw = aa * _wx(w2, aa, 3)
-        r_bot = jnp.einsum("clq...,qd->cdl...", aaw, asm.space.phi)
-        return jnp.stack([r_bot, r_top], axis=3)  # (nc,3,nz,2,...)
+        ab = acc_below[:, 1:]   # interfaces 1..nz = tops of layers 0..nz-1
+        aa = acc_above[:, :-1]  # interfaces 0..nz-1 = bottoms of layers
+
+        def project(a):
+            extra = a.ndim - 3
+            rows = []
+            for d in range(3):
+                out = None
+                for q in range(self.nq):
+                    w = (float(self._qw_h[q] * self._phi_h[q, d])
+                         * detJ).reshape((-1, 1) + (1,) * extra)
+                    term = w * a[:, :, q]
+                    out = term if out is None else out + term
+                rows.append(out)
+            return jnp.moveaxis(jnp.stack(rows), 0, 1)  # (nc, 3, nz, ..)
+
+        return jnp.stack([project(aa), project(ab)], axis=3)
 
     # -- mass ------------------------------------------------------------
     def _mass_factors(self, geom):
@@ -295,22 +499,40 @@ class Assembler3D:
         layer thickness, times the constant vertical 2x2 block.  Keeping
         it factored avoids ever forming (or inverting) the 6x6 matrices —
         a batched ``linalg.inv`` on (nc*nz) 6x6 blocks measured ~65 ms on
-        TPU v5e vs <1 ms for the factored closed form."""
+        TPU v5e vs <1 ms for the factored closed form.
+
+        Mh is returned as a 3x3 nested list of (nc, nz) slabs (not a
+        (nc, nz, 3, 3) array): tensors whose two minor axes are tiny get
+        (8,128)-tile padded by XLA, and the batched einsum application
+        relayouts on top of that — the slab form runs the whole mass
+        inverse at field bandwidth (the phase measured 6.5 ms/step on
+        the 1M-DOF 3D bench in array form)."""
         asm = self.asm2d
         w2 = asm.space.qw[None, :] * self.mesh.detJ[:, None]  # (nc, nq)
-        phi = asm.space.phi  # (nq,3)
-        Mh = jnp.einsum(
-            "cq,clq,qa,qb->clab", w2, geom["Delta_q"], phi, phi
-        )  # (nc,nz,3,3)
-        Mv = jnp.einsum("v,vp,vr->pr", self.wv, self.psi, self.psi)  # (2,2)
+        phi = np.asarray(asm.space.phi)  # (nq, 3) host scalars
+        dq = geom["Delta_q"]  # (nc, nz, nq)
+        nq = phi.shape[0]
+        Mh = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(a, 3):
+                acc = None
+                for q in range(nq):
+                    t = (float(phi[q, a] * phi[q, b])
+                         * w2[:, q, None]) * dq[:, :, q]
+                    acc = t if acc is None else acc + t
+                Mh[a][b] = acc
+                Mh[b][a] = acc
+        Mv = np.einsum("v,vp,vr->pr", np.asarray(self.wv),
+                       np.asarray(self.psi), np.asarray(self.psi))
         return Mh, Mv
 
     @staticmethod
     def _inv3(A):
-        """Closed-form batched 3x3 inverse (adjugate / determinant)."""
-        a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-        d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-        g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+        """Closed-form 3x3 inverse on the slab representation (3x3
+        nested list of (nc, nz) arrays)."""
+        a, b, c = A[0][0], A[0][1], A[0][2]
+        d, e, f = A[1][0], A[1][1], A[1][2]
+        g, h, i = A[2][0], A[2][1], A[2][2]
         A11 = e * i - f * h
         A12 = c * h - b * i
         A13 = b * f - c * e
@@ -320,34 +542,47 @@ class Assembler3D:
         A31 = d * h - e * g
         A32 = b * g - a * h
         A33 = a * e - b * d
-        det = a * A11 + b * A21 + c * A31
-        adj = jnp.stack([
-            jnp.stack([A11, A12, A13], axis=-1),
-            jnp.stack([A21, A22, A23], axis=-1),
-            jnp.stack([A31, A32, A33], axis=-1),
-        ], axis=-2)
-        return adj / det[..., None, None]
+        inv_det = 1.0 / (a * A11 + b * A21 + c * A31)
+        return [[A11 * inv_det, A12 * inv_det, A13 * inv_det],
+                [A21 * inv_det, A22 * inv_det, A23 * inv_det],
+                [A31 * inv_det, A32 * inv_det, A33 * inv_det]]
 
     @staticmethod
     def _inv2(A):
-        a, b = A[..., 0, 0], A[..., 0, 1]
-        c, d = A[..., 1, 0], A[..., 1, 1]
+        """2x2 inverse of a (numpy) matrix."""
+        a, b = A[0, 0], A[0, 1]
+        c, d = A[1, 0], A[1, 1]
         det = a * d - b * c
-        return jnp.stack([
-            jnp.stack([d, -b], axis=-1),
-            jnp.stack([-c, a], axis=-1),
-        ], axis=-2) / det[..., None, None]
+        return np.asarray([[d, -b], [-c, a]]) / det
 
-    def _kron_apply(self, Mh, Mv, u):
-        """Apply (Mh (x) Mv) to u with axes (c, node, layer, vnode[, k])."""
-        t = jnp.einsum("clab,cblp...->calp...", Mh, u)
-        return jnp.einsum("pr,calr...->calp...", Mv, t)
+    @staticmethod
+    def _kron_apply(Mh, Mv, u):
+        """Apply (Mh (x) Mv) to u, axes (c, node, layer, vnode[, k]);
+        Mh a 3x3 slab list, Mv a host 2x2 — fully unrolled multiply-adds
+        so nothing with two tiny minor axes is ever materialized."""
+        t = []
+        for a in range(3):
+            acc = None
+            for b in range(3):
+                x = Mh[a][b].reshape(
+                    Mh[a][b].shape[:1] + (1,) + Mh[a][b].shape[1:]
+                    + (1,) * (u.ndim - 3)) * u[:, b:b + 1]
+                acc = x if acc is None else acc + x
+            t.append(acc)  # (nc, 1, nz, 2[, k])
+        t = jnp.concatenate(t, axis=1)  # (nc, 3, nz, 2[, k])
+        tb, tt = t[:, :, :, 0], t[:, :, :, 1]
+        out_b = float(Mv[0, 0]) * tb + float(Mv[0, 1]) * tt
+        out_t = float(Mv[1, 0]) * tb + float(Mv[1, 1]) * tt
+        return jnp.stack([out_b, out_t], axis=3)
 
     def mass_matrices(self, geom):
         """Dense per-(cell,layer) 6x6 mass matrices (kept for
         inspection/tests; the hot path uses the Kronecker factors)."""
         Mh, Mv = self._mass_factors(geom)
-        M = jnp.einsum("clab,pr->clapbr", Mh, Mv)  # (nc,nz,3,2,3,2)
+        Mh_arr = jnp.stack(
+            [jnp.stack(row, axis=-1) for row in Mh], axis=-2)
+        M = jnp.einsum("clab,pr->clapbr", Mh_arr, jnp.asarray(
+            Mv, dtype=Mh_arr.dtype))
         return M.reshape(M.shape[0], M.shape[1], 6, 6)
 
     def mass_apply(self, u, geom):
