@@ -59,7 +59,9 @@ def make_cylinder_mesh(dx=250.0):
     rim = np.zeros(len(coords), dtype=bool)
     rim[rim_ids] = True
     rim &= r > 1e-9
-    scale = np.where(rim, CYL_R / np.maximum(r, 1e-12), 1.0)
+    # displacement-capped snap: no kept cell can invert
+    move = np.clip(CYL_R - r, -0.45 * dx, 0.45 * dx)
+    scale = np.where(rim, (r + move) / np.maximum(r, 1e-12), 1.0)
     coords = coords * scale[:, None]
     used = np.unique(tri)
     remap = np.full(len(coords), -1, dtype=np.int64)

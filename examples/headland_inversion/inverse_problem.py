@@ -1,0 +1,276 @@
+# Headland Manning-friction inversion (twin experiment)
+# ======================================================
+#
+# Port of the reference's ``examples/headland_inversion`` (``forward_run``
+# + ``inverse_problem`` + ``model_config``): a tidal channel with a
+# coastal headland, distance-to-shore ramped bathymetry, and inversion of
+# the Manning friction field from synthetic station records under several
+# control parameterisations:
+#
+#   Uniform                 one scalar friction value
+#   Regions                 piecewise-constant over region masks
+#   IndependentPointsScheme values at a few points, linearly interpolated
+#   GradientReg             full nodal field + gradient regularisation
+#   HessianReg              full nodal field + Hessian regularisation
+#
+# The reference solves an Eikonal equation for the distance-to-shore used
+# by the bathymetry ramp (``model_config.py:generate_bathymetry``); with
+# this convex shoreline the Euclidean point distance is the same field,
+# so it is computed directly from the coast vertices (cKDTree).
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thetis_tpu import (
+    FunctionSpace, Function, Constant, solver2d, print_output,
+)
+from thetis_tpu.mesh.mesh2d import Mesh2d
+from thetis_tpu.adjoint.inversion_tools import (
+    StationObservationManager,
+    InversionManager,
+    GradientRegularizationCalculator,
+    HessianRegularizationCalculator,
+    RSpaceRegularizationCalculator,
+)
+
+REGRESSION = bool(os.environ.get("THETIS_REGRESSION_TEST"))
+LX, LY = 8e3, 2e3
+HEAD_R, HEAD_X = 600.0, LX / 2
+H_DEEP = 40.0
+N_STEPS = 12 if REGRESSION else 60
+MAXITER = 5 if REGRESSION else 20
+DT = 30.0
+
+CASES = (["Uniform", "Regions"] if REGRESSION else
+         ["Uniform", "Regions", "IndependentPointsScheme",
+          "GradientReg", "HessianReg"])
+
+STATIONS = dict(
+    names=["sta1", "sta2", "sta3", "sta4", "sta5"],
+    x=[1.0e3, 2.8e3, 4.0e3, 5.2e3, 7.0e3],
+    y=[1.0e3, 0.8e3, 0.5e3, 0.8e3, 1.0e3],
+)
+
+
+def make_headland_mesh(dx=100.0):
+    """Channel with a semicircular headland on the north shore.
+    Markers: 1 = west (forcing), 2 = east, 3 = coasts (incl. headland)."""
+    nx, ny = int(LX / dx), int(LY / dx)
+    xs = np.linspace(0, LX, nx + 1)
+    ys = np.linspace(0, LY, ny + 1)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    i, j = i.ravel(), j.ravel()
+    tri = np.concatenate([
+        np.stack([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1)], axis=1),
+        np.stack([vid(i, j), vid(i + 1, j + 1), vid(i, j + 1)], axis=1),
+    ], axis=0)
+    # carve the headland out of the north shore
+    mids = coords[tri].mean(axis=1)
+    keep = ((mids[:, 0] - HEAD_X) ** 2
+            + (mids[:, 1] - LY) ** 2) > HEAD_R ** 2
+    # the hole rim = vertices shared by kept and removed cells; move
+    # those toward the circle arc (reference snap_cylinder_coords), but
+    # cap the displacement at 0.45 dx so no kept cell can invert
+    rim_ids = np.intersect1d(np.unique(tri[keep]), np.unique(tri[~keep]))
+    tri = tri[keep]
+    d = np.sqrt((coords[:, 0] - HEAD_X) ** 2 + (coords[:, 1] - LY) ** 2)
+    rim = np.zeros(len(coords), dtype=bool)
+    rim[rim_ids] = True
+    rim &= d > 1e-9
+    move = np.clip(HEAD_R - d, -0.45 * dx, 0.45 * dx)
+    scale = np.where(rim, (d + move) / np.maximum(d, 1e-12), 1.0)
+    coords = np.stack([
+        HEAD_X + (coords[:, 0] - HEAD_X) * scale,
+        LY + (coords[:, 1] - LY) * scale,
+    ], axis=1)
+    used = np.unique(tri)
+    remap = np.full(len(coords), -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    coords = coords[used]
+    tri = remap[tri]
+    eps = 1e-6
+
+    def markers(mid):
+        m = np.full(len(mid), 3, dtype=np.int32)  # coast by default
+        m[np.abs(mid[:, 0]) < eps] = 1
+        m[np.abs(mid[:, 0] - LX) < eps] = 2
+        return m
+
+    return Mesh2d(coords, tri, boundary_markers=markers, name="headland")
+
+
+def distance_to_coast(mesh):
+    """Distance from each vertex to the nearest coast (marker 3) vertex —
+    the Eikonal solution for this geometry (ref generate_bathymetry)."""
+    from scipy.spatial import cKDTree
+
+    coast = np.unique(
+        mesh.facet_verts_np[mesh.facet_marker_np == 3])
+    tree = cKDTree(mesh.coords_np[coast])
+    return tree.query(mesh.coords_np)[0]
+
+
+def make_solver(manning_field, mesh2d, bathy):
+    so = solver2d.FlowSolver2d(mesh2d, bathy)
+    o = so.options
+    o.timestep = DT
+    o.simulation_export_time = DT * N_STEPS
+    o.simulation_end_time = DT * N_STEPS
+    o.no_exports = True
+    o.swe_timestepper_type = "CrankNicolson"
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    o.manning_drag_coefficient = Function(
+        P1, data=jnp.asarray(manning_field))
+    so.bnd_functions["shallow_water"] = {
+        1: {"un": Constant(-0.6)},
+        2: {"elev": Constant(0.0)},
+    }
+    so.assign_initial_conditions(uv=jnp.asarray([0.6, 0.0]), elev=0.0)
+    return so
+
+
+def true_manning(mesh):
+    """'Truth': smooth west-to-east friction gradient + rougher headland
+    wake (the structure the parameterisations must capture)."""
+    x, y = mesh.coords_np[:, 0], mesh.coords_np[:, 1]
+    bump = 0.02 * np.exp(-(((x - HEAD_X) / 1200.0) ** 2
+                           + ((y - LY) / 900.0) ** 2))
+    return 0.02 + 0.015 * x / LX + bump
+
+
+def forward_run(mesh2d, bathy):
+    so = make_solver(true_manning(mesh2d), mesh2d, bathy)
+    sta = StationObservationManager(so)
+    sta._xy = list(zip(STATIONS["x"], STATIONS["y"]))
+    sta.construct_evaluator()
+    state = so._get_state()
+    fields = so._gather_swe_fields()
+    bnd = so._gather_bnd("shallow_water")
+    step = jax.jit(lambda s: so._advance(0.0, s, fields, {}, bnd, {}))
+    times, samples = [], {n: [] for n in STATIONS["names"]}
+    for i in range(N_STEPS):
+        state = step(state)
+        vals = np.asarray(sta.sample(state))
+        times.append((i + 1) * so.dt)
+        for n, v in zip(STATIONS["names"], vals):
+            samples[n].append(float(v))
+    return times, samples
+
+
+def control_setup(case, mesh2d):
+    """Return (initial control value, mapping control -> CG1 field,
+    regularization) for a parameterisation case."""
+    nv = mesh2d.nv
+    x = jnp.asarray(mesh2d.coords_np[:, 0])
+    first_guess = 0.02
+    if case == "Uniform":
+        return (jnp.asarray(first_guess),
+                lambda c: jnp.full((nv,), 1.0) * c,
+                RSpaceRegularizationCalculator(1e-8, first_guess))
+    if case == "Regions":
+        # three x-bands (the reference's region masks)
+        edges = [0.0, LX / 3, 2 * LX / 3, LX + 1.0]
+        masks = jnp.stack([
+            ((x >= e0) & (x < e1)).astype(x.dtype)
+            for e0, e1 in zip(edges[:-1], edges[1:])
+        ])  # (3, nv)
+        return (jnp.full((3,), first_guess),
+                lambda c: jnp.einsum("k,kv->v", c, masks),
+                RSpaceRegularizationCalculator(
+                    1e-8, jnp.full((3,), first_guess)))
+    if case == "IndependentPointsScheme":
+        # values at k x-stations, piecewise-linear interpolation weights
+        pts = np.linspace(0.0, LX, 5)
+        xv = mesh2d.coords_np[:, 0]
+        W = np.zeros((len(pts), mesh2d.nv))
+        seg = np.clip(np.searchsorted(pts, xv) - 1, 0, len(pts) - 2)
+        t = (xv - pts[seg]) / (pts[seg + 1] - pts[seg])
+        W[seg, np.arange(mesh2d.nv)] = 1 - t
+        W[seg + 1, np.arange(mesh2d.nv)] = t
+        Wj = jnp.asarray(W)
+        return (jnp.full((len(pts),), first_guess),
+                lambda c: jnp.einsum("k,kv->v", c, Wj),
+                RSpaceRegularizationCalculator(
+                    1e-8, jnp.full((len(pts),), first_guess)))
+    # full-field cases
+    so_dummy = None
+    if case == "GradientReg":
+        reg_cls, gamma = GradientRegularizationCalculator, 1e-2
+    else:
+        reg_cls, gamma = HessianRegularizationCalculator, 1e-2
+    return (jnp.full((nv,), first_guess), None, (reg_cls, gamma))
+
+
+def run_case(case, mesh2d, bathy, times, samples):
+    print_output(f"=== inversion case: {case} ===")
+    init, mapping, reg = control_setup(case, mesh2d)
+    so = make_solver(
+        np.asarray(mapping(init)) if mapping else np.asarray(init),
+        mesh2d, bathy)
+    if isinstance(reg, tuple):  # full-field regularizers need the asm
+        reg = reg[0](so.asm, gamma=reg[1])
+    sta = StationObservationManager(so)
+    sta.register_observation_data(
+        STATIONS["names"], "elev",
+        [times] * len(STATIONS["names"]),
+        [samples[n] for n in STATIONS["names"]],
+        STATIONS["x"], STATIONS["y"],
+    )
+    sta.construct_evaluator()
+    im = InversionManager(sta, real_cost_function_scaling=1.0,
+                          output_dir=f"outputs_inv_headland_{case}")
+    im.add_control("manning_drag_coefficient", init,
+                   regularization=reg, mapping=mapping)
+    rf = im.get_reduced_functional(N_STEPS)
+    J0 = rf()
+    im.consistency_test()
+    if case == "Uniform":
+        # f32 example run: at h ~ 1e-3 the remainder sits on the inner
+        # Krylov-tolerance noise floor; step from h0 = 1e-2 instead
+        from thetis_tpu.adjoint.reduced_functional import taylor_test
+        rng = np.random.RandomState(0)
+        dc = jnp.asarray(rng.rand())
+        rate = taylor_test(im.rf, init, dc, h0=1e-2)
+        assert rate > 1.75, rate
+        print_output(f"{case}: taylor rate {rate:.2f}")
+    result = im.minimize(maxiter=MAXITER, ftol=1e-14, gtol=1e-14)
+    J1 = rf([result])
+    print_output(f"{case}: J {J0:.4e} -> {J1:.4e}")
+    assert J1 < J0, (case, J0, J1)
+    return J0, J1, result
+
+
+if __name__ == "__main__":
+    mesh2d = make_headland_mesh(dx=250.0 if REGRESSION else 100.0)
+    P1 = FunctionSpace(mesh2d, "CG", 1)
+    dist = distance_to_coast(mesh2d)
+    L = 500.0
+    bathy_vals = np.where(dist >= L, H_DEEP,
+                          (H_DEEP - 5.0) * (dist / L) + 5.0)
+    bathy = Function(P1, data=jnp.asarray(bathy_vals))
+    times, samples = forward_run(mesh2d, bathy)
+
+    truth = true_manning(mesh2d)
+    results = {}
+    for case in CASES:
+        J0, J1, result = run_case(case, mesh2d, bathy, times, samples)
+        results[case] = (J0, J1, result)
+
+    # the misfit must drop for every parameterisation (a single uniform
+    # value cannot fit the nonuniform truth as well as richer controls)
+    for case, (J0, J1, _) in results.items():
+        bound = 0.8 if case == "Uniform" else 0.5
+        assert J1 < bound * J0, (case, J0, J1)
+    c_uni = float(np.asarray(results["Uniform"][2]))
+    assert abs(c_uni - truth.mean()) < abs(0.02 - truth.mean()), c_uni
+    print_output(f"uniform recovered {c_uni:.4f} "
+                 f"(truth mean {truth.mean():.4f}, first guess 0.02)")

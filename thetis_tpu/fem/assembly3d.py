@@ -507,9 +507,11 @@ class Assembler3D:
         relayouts on top of that — the slab form runs the whole mass
         inverse at field bandwidth (the phase measured 6.5 ms/step on
         the 1M-DOF 3D bench in array form)."""
-        asm = self.asm2d
-        w2 = asm.space.qw[None, :] * self.mesh.detJ[:, None]  # (nc, nq)
-        phi = np.asarray(asm.space.phi)  # (nq, 3) host scalars
+        w2 = jnp.asarray(self._qw_h)[None, :]             * self.mesh.detJ[:, None]  # (nc, nq)
+        # host tab copies from __init__: the sharded step threads the
+        # DEVICE tabs through shard_map as traced arguments, so
+        # asm.space.phi may be a tracer here
+        phi = self._phi_h  # (nq, 3) host scalars
         dq = geom["Delta_q"]  # (nc, nz, nq)
         nq = phi.shape[0]
         Mh = [[None] * 3 for _ in range(3)]
@@ -522,8 +524,8 @@ class Assembler3D:
                     acc = t if acc is None else acc + t
                 Mh[a][b] = acc
                 Mh[b][a] = acc
-        Mv = np.einsum("v,vp,vr->pr", np.asarray(self.wv),
-                       np.asarray(self.psi), np.asarray(self.psi))
+        Mv = np.einsum("v,vp,vr->pr", self._wv_h,
+                       self._psi_h, self._psi_h)
         return Mh, Mv
 
     @staticmethod

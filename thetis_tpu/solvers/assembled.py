@@ -383,7 +383,11 @@ class _TransposedCoarse:
         self.agg = coarse.agg
         self.n_agg = coarse.n_agg
         self.d = coarse.d
-        self.Ac_inv_T = coarse.Ac_inv.T
+        # transpose() may first fire inside an adjoint trace and the
+        # result is cached on the forward object: materialize eagerly
+        # (CLAUDE.md tracer-leak convention)
+        with jax.ensure_compile_time_eval():
+            self.Ac_inv_T = coarse.Ac_inv.T
 
     def __call__(self, r):
         r_c = jax.ops.segment_sum(r, self.agg, num_segments=self.n_agg)

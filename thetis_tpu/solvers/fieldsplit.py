@@ -251,18 +251,23 @@ class SchurFieldsplitPC:
         commute with the per-cell transpose), so it preconditions A^T as
         well as the forward PC preconditions A."""
         if self._transposed is None:
-            d = self.n_u + self.ne
-            su, se = self._su, self._se
-            blocks = jnp.zeros(
-                (self.nc, self.ring.shape[1], d, d), dtype=self.Auu.dtype)
-            blocks = blocks.at[:, :, su, su].set(self.Auu)
-            blocks = blocks.at[:, :, su, se].set(self.Aue)
-            blocks = blocks.at[:, :, se, su].set(self.Aeu)
-            blocks = blocks.at[:, :, se, se].set(self.Aee)
-            bT = _ring_transpose(blocks, self.ring)
-            self._transposed = SchurFieldsplitPC(
-                bT, np.asarray(self.ring), self._mesh, n_u=self.n_u,
-                u_smooth=self.u_smooth, s_iters=self.s_iters,
-                eta_first=self.eta_first,
-            )
+            # may first fire inside an adjoint trace; the transposed PC
+            # is cached on this object, so its device tables must be
+            # concrete (CLAUDE.md tracer-leak convention)
+            with jax.ensure_compile_time_eval():
+                d = self.n_u + self.ne
+                su, se = self._su, self._se
+                blocks = jnp.zeros(
+                    (self.nc, self.ring.shape[1], d, d),
+                    dtype=self.Auu.dtype)
+                blocks = blocks.at[:, :, su, su].set(self.Auu)
+                blocks = blocks.at[:, :, su, se].set(self.Aue)
+                blocks = blocks.at[:, :, se, su].set(self.Aeu)
+                blocks = blocks.at[:, :, se, se].set(self.Aee)
+                bT = _ring_transpose(blocks, self.ring)
+                self._transposed = SchurFieldsplitPC(
+                    bT, np.asarray(self.ring), self._mesh, n_u=self.n_u,
+                    u_smooth=self.u_smooth, s_iters=self.s_iters,
+                    eta_first=self.eta_first,
+                )
         return self._transposed
