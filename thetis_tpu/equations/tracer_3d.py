@@ -176,9 +176,12 @@ class TracerEquation3D(EquationBase):
     def _t_source(self, c, B):
         src = c["fields"].get(f"source-{self.label}")
         if src is not None:
-            B["cell"].add(src if hasattr(src, "ndim") and src.ndim >= 3
-                          else jnp.broadcast_to(jnp.asarray(src),
-                                                c["c_q"].shape))
+            src = jnp.asarray(src)
+            if src.ndim == 4:
+                # (nc, 3, nz, 2) prognostic-dof layout -> quad values
+                src = self.asm3d.cell_values(src)
+            B["cell"].add(src if src.ndim >= 3
+                          else jnp.broadcast_to(src, c["c_q"].shape))
 
     # -- assembly --------------------------------------------------------
     def residual(self, label, solution, solution_old, fields, fields_old,

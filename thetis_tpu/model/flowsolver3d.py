@@ -103,6 +103,14 @@ class ModelOptions3d(ModelOptions2d):
             # conservation/overshoot monitors, evaluated at each export
             # (ref ``options.py:1092-1121``; auto-registered like the 2D
             # solver's, ref ``solver.py`` iterate)
+            # manufactured/user interior sources (ref ``options.py``
+            # ``momentum_source_3d`` / ``temperature_source_3d`` /
+            # ``salinity_source_3d``; 2D ones inherited from
+            # ModelOptions2d) — (nc, 3, nz, 2) cell-dof arrays or
+            # Functions
+            momentum_source_3d=None,
+            temperature_source_3d=None,
+            salinity_source_3d=None,
             check_volume_conservation_3d=False,
             check_salinity_conservation=False,
             check_salinity_overshoot=False,
@@ -116,9 +124,19 @@ class ModelOptions3d(ModelOptions2d):
 class FlowSolver:
     """ref ``solver.py:25-1341`` (round-1 subset)."""
 
-    def __init__(self, mesh2d, bathymetry_2d, n_layers, options=None):
+    def __init__(self, mesh2d, bathymetry_2d, n_layers, options=None,
+                 extrude_options=None):
+        """:arg extrude_options: optional dict controlling the vertical
+        grid (ref ``solver.py`` ``extrude_options`` / the sigma-extrusion
+        kernel ``utility.py:349-420``): ``sigma`` gives the (nz+1,)
+        interface distribution in [0, 1] directly; ``z_stretch_fact``
+        (scalar s >= 1) refines toward the surface with
+        ``sigma_j = 1 - (1 - j/nz)**s`` (the global analogue of the
+        reference's per-column ``z_stretch_fact_2d``,
+        ``examples/columbia_plume/cre-plume.py:115-118``)."""
         self.mesh2d = mesh2d
         self.n_layers = int(n_layers)
+        self.extrude_options = dict(extrude_options or {})
         self.options = ModelOptions3d()
         if options is not None:
             self.options.update(options)
@@ -143,7 +161,15 @@ class FlowSolver:
         fs.H_2d = FunctionSpace(mesh, "DG", 1)
         fs.U_2d = FunctionSpace(mesh, "DG", 1, dim=2)
         self.asm = DGAssembler(mesh, fs.H_2d)
-        self.extruded = ExtrudedMesh(mesh, self.n_layers)
+        sigma = self.extrude_options.get("sigma")
+        stretch = self.extrude_options.get("z_stretch_fact")
+        if sigma is None and stretch is not None:
+            import numpy as _np
+            s = float(stretch)
+            sigma = 1.0 - (1.0 - _np.linspace(0.0, 1.0,
+                                              self.n_layers + 1)) ** s
+            sigma[0], sigma[-1] = 0.0, 1.0
+        self.extruded = ExtrudedMesh(mesh, self.n_layers, sigma=sigma)
         self.asm3d = Assembler3D(mesh, self.asm, self.extruded)
 
     def create_fields(self):
@@ -579,8 +605,11 @@ class FlowSolver:
         bnd_temp = _bnd3("temp")
         tracer_bnds = {"salt_3d": bnd_salt, "temp_3d": bnd_temp}
         # the packed multi-tracer fast path assumes identical (empty)
-        # tracer BCs; per-tracer boundary values take the unpacked path
-        use_packed = not (bnd_salt or bnd_temp)
+        # tracer BCs and no per-tracer interior sources; otherwise each
+        # tracer advects separately
+        use_packed = not (bnd_salt or bnd_temp
+                          or o.temperature_source_3d is not None
+                          or o.salinity_source_3d is not None)
 
         def ale_combine(eq, key, u0, u_eval, fields, geom0, geom_eval,
                         geom_new, a, b, consistency_fix=False, bnd=None):
@@ -803,13 +832,22 @@ class FlowSolver:
                 # (ref ``_update_stabilization_params``,
                 # ``coupled_timeintegrator.py:93-99``)
                 nu_smag = smag.solve(uv_total, geom0)
-                visc_h = nu_smag + (visc_h if visc_h is not None else 0.0)
+                vh = visc_h if visc_h is not None else 0.0
+                if jnp.ndim(vh) >= 1:
+                    # 2D background field -> 3D cell-node form so it can
+                    # add to the (nc, 3, nz, 2) Smagorinsky viscosity
+                    if vh.shape[:1] == (self.mesh2d.nv,):  # CG1 vertex field
+                        vh = jnp.asarray(vh)[self.mesh2d.cells]
+                    if jnp.ndim(vh) == 2:               # (nc, 3) cell-node
+                        vh = vh[:, :, None, None]
+                visc_h = nu_smag + vh
             fields3 = {
                 "w_3d": w_adv,
                 "w_mesh_3d": w_mesh,
                 "int_pg_3d": int_pg,
                 "coriolis": swe_fields.get("coriolis"),
                 "viscosity_h": visc_h,
+                "momentum_source_3d": swe_fields.get("momentum_source_3d"),
             }
             fields3 = {k: v for k, v in fields3.items() if v is not None}
             uv_new = ale_advance(eq_mom, "uv_3d", uv_total, fields3,
@@ -825,7 +863,9 @@ class FlowSolver:
             tr_fields = {"uv_3d": uv_adv, "w_3d": w_adv,
                          "w_mesh_3d": w_mesh,
                          "diffusivity_h": swe_fields.get("diffusivity_h"),
-                         "diffusivity_v": mu_v0}
+                         "diffusivity_v": mu_v0,
+                         "source-temp_3d": swe_fields.get("source-temp_3d"),
+                         "source-salt_3d": swe_fields.get("source-salt_3d")}
             tr_fields = {k: v for k, v in tr_fields.items() if v is not None}
             new_state = dict(state)
             if leapfrog:
@@ -1087,6 +1127,24 @@ class FlowSolver:
             )
         if o.horizontal_diffusivity is not None:
             out["diffusivity_h"] = jnp.asarray(float(o.horizontal_diffusivity))
+        if getattr(o, "volume_source_2d", None) is not None:
+            v = o.volume_source_2d
+            from ..utils.constant import Constant
+            if isinstance(v, Constant):
+                v = v.value
+            v = jnp.asarray(v.data if isinstance(v, Function) else v)
+            if v.ndim and v.shape[:1] == (self.mesh2d.nv,):
+                v = v[self.mesh2d.cells]
+            out["volume_source"] = v
+        # interior 3D sources (MMS / user forcing): already on the
+        # (nc, 3, nz, 2) prognostic dof layout
+        for opt, key in (("momentum_source_3d", "momentum_source_3d"),
+                         ("temperature_source_3d", "source-temp_3d"),
+                         ("salinity_source_3d", "source-salt_3d")):
+            v = getattr(o, opt, None)
+            if v is not None:
+                out[key] = jnp.asarray(
+                    v.data if isinstance(v, Function) else v)
         if o.quadratic_drag_coefficient is not None and \
                 not o.use_bottom_friction:
             # with 3D bottom friction the drag acts on the 3D momentum
