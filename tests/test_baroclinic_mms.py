@@ -1,0 +1,174 @@
+"""MMS convergence for the coupled 3D baroclinic solver.
+
+Analogue of the reference's ``test/solver3d/test_baroclinic_mms.py``:
+a manufactured steady 3D state (velocity with zero depth average,
+non-trivial active temperature, linear EOS) is forced by
+sympy-derived interior sources through ``momentum_source_3d`` /
+``temperature_source_3d``; the coupled mode-split solver must hold the
+state to discretization accuracy, and the error must converge at the
+P1DG rate.  A wrong coefficient in the advection, Coriolis or internal
+pressure gradient terms breaks the observed order even when it would
+not change it.
+
+The domain is doubly periodic (the reference uses weakly-imposed
+Dirichlet data on a box instead — its gmsh pipeline has no periodic
+meshes), so every interior term is exercised with no boundary terms in
+the error budget.  Sign conventions under test (momentum tendency):
+
+    du/dt = -div(u u) - d(w u)/dz + f v - g dr/dx + src_u
+    dT/dt = -div(u T) - d(w T)/dz + src_T
+    r     = -1/rho0 int_z^0 rho' dz,   rho' = -alpha (T - T_ref)
+"""
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
+import numpy as np
+import jax.numpy as jnp
+import sympy as sp
+from scipy import stats
+
+from thetis_tpu import Function, FunctionSpace, physical_constants
+from thetis_tpu.mesh.generation import PeriodicRectangleMesh
+from thetis_tpu.model.flowsolver3d import FlowSolver
+
+LX, LY, DEPTH = 15e3, 10e3, 40.0
+F0 = 1.0e-4
+ALPHA, T_REF, S_REF = 0.2, 5.0, 35.0
+RHO0 = 1000.0
+
+
+def _derive(case):
+    x, y, z = sp.symbols("x y z", real=True)
+    g = float(physical_constants["g_grav"])
+    two_pi = 2 * sp.pi
+    # vertical structure with zero depth average -> uv_2d = 0 exactly
+    P = sp.cos(two_pi * (z + DEPTH) / DEPTH)
+    if case == "intpg":
+        u = sp.Integer(0)
+        v = sp.Integer(0)
+    else:
+        u = sp.Rational(1, 2) * sp.sin(two_pi * x / LX) \
+            * sp.cos(two_pi * y / LY) * P
+        v = sp.Rational(3, 10) * sp.cos(two_pi * x / LX) \
+            * sp.sin(two_pi * y / LY) * P
+    temp = 15 + 5 * sp.cos(two_pi * x / LX) * sp.cos(two_pi * y / LY) \
+        * sp.cos(sp.pi * (z + DEPTH) / DEPTH)
+
+    zz = sp.symbols("zz", real=True)
+    w = -sp.integrate(u.diff(x).subs(z, zz) + v.diff(y).subs(z, zz),
+                      (zz, -DEPTH, z))
+    rho_p = -ALPHA * (temp - T_REF)
+    r = -sp.Rational(1) / RHO0 * sp.integrate(rho_p.subs(z, zz), (zz, z, 0))
+
+    src_u = (u * u.diff(x) + v * u.diff(y) + w * u.diff(z)
+             - F0 * v + g * r.diff(x))
+    src_v = (u * v.diff(x) + v * v.diff(y) + w * v.diff(z)
+             + F0 * u + g * r.diff(y))
+    src_T = u * temp.diff(x) + v * temp.diff(y) + w * temp.diff(z)
+
+    syms = (x, y, z)
+    lam = lambda e: sp.lambdify(syms, e, "numpy")  # noqa: E731
+    return {k: lam(v) for k, v in dict(
+        u=u, v=v, w=w, temp=temp, src_u=src_u, src_v=src_v, src_T=src_T,
+    ).items()}
+
+
+_CASES = {}
+
+
+def _case(name):
+    if name not in _CASES:
+        _CASES[name] = _derive(name)
+    return _CASES[name]
+
+
+def _run(case, refinement):
+    d = _case(case)
+    physical_constants["rho0"] = RHO0
+    nx, ny, nz = 4 * refinement, 4 * refinement, 2 * refinement
+    mesh2d = PeriodicRectangleMesh(nx, ny, LX, LY, direction="both")
+    s = FlowSolver(mesh2d, jnp.asarray(DEPTH), nz)
+    o = s.options
+    o.update(dict(
+        timestepper_type="SSPRK22",
+        solve_salinity=False,
+        solve_temperature=True,
+        constant_salinity=S_REF,
+        use_baroclinic_formulation=True,
+        use_implicit_vertical_diffusion=False,
+        use_bottom_friction=False,
+        use_turbulence=False,
+        use_limiter_for_tracers=False,
+        use_lax_friedrichs_velocity=True,
+        coriolis_frequency=F0,
+        equation_of_state_type="linear",
+        equation_of_state_options=dict(
+            rho_ref=RHO0, alpha=ALPHA, beta=0.0, th_ref=T_REF, s_ref=S_REF),
+        timestep=25.0 / refinement,
+        simulation_export_time=50 * 25.0 / refinement,
+        simulation_end_time=50 * 25.0 / refinement,
+    ))
+    s.initialize()
+
+    xc = mesh2d.coords_np[mesh2d.cells_np]            # (nc, 3, 2)
+    sig = np.linspace(0.0, 1.0, nz + 1)
+    z_if = -DEPTH + sig * DEPTH
+    z_nodes = np.stack([z_if[:-1], z_if[1:]], axis=-1)  # (nz, 2)
+    X = np.broadcast_to(xc[:, :, None, None, 0],
+                        (mesh2d.nc, 3, nz, 2))
+    Y = np.broadcast_to(xc[:, :, None, None, 1],
+                        (mesh2d.nc, 3, nz, 2))
+    Z = np.broadcast_to(z_nodes[None, None], (mesh2d.nc, 3, nz, 2))
+
+    def ev(f):
+        return np.broadcast_to(np.asarray(f(X, Y, Z), dtype=float),
+                               X.shape).copy()
+
+    uv_exact = np.stack([ev(d["u"]), ev(d["v"])], axis=-1)
+    temp_exact = ev(d["temp"])
+    o.momentum_source_3d = jnp.asarray(
+        np.stack([ev(d["src_u"]), ev(d["src_v"])], axis=-1))
+    o.temperature_source_3d = jnp.asarray(ev(d["src_T"]))
+
+    s.assign_initial_conditions(elev=jnp.zeros((mesh2d.nc, 3)),
+                                uv_3d=jnp.asarray(uv_exact),
+                                temp=jnp.asarray(temp_exact))
+    s.iterate()
+
+    # L2 errors with uniform layer weights (flat bottom, elev ~ 0)
+    area = np.asarray(mesh2d.cell_area_np)
+    w = area[:, None, None, None] * (DEPTH / nz / 2.0) / 3.0
+    vol = LX * LY * DEPTH
+
+    uv = np.asarray(s.fields.uv_3d.data)
+    temp = np.asarray(s.fields.temp_3d.data)
+    elev = np.asarray(s.fields.elev_2d.data)
+    assert np.isfinite(uv).all() and np.isfinite(temp).all()
+    err_uv = np.sqrt(float((w[..., None] * (uv - uv_exact) ** 2).sum())
+                     / vol)
+    err_T = np.sqrt(float((w * (temp - temp_exact) ** 2).sum()) / vol)
+    err_eta = np.sqrt(float(
+        (area[:, None] * elev**2 / 3.0).sum()) / (LX * LY))
+    return err_uv, err_T, err_eta
+
+
+@_pytest.mark.parametrize("case", ["intpg", "full"])
+def test_baroclinic_mms_convergence(case):
+    refs = [1, 2, 3]
+    out = [_run(case, r) for r in refs]
+    h = np.log([LX / (4 * r) for r in refs])
+    print(f"baroclinic MMS {case}: "
+          + ", ".join(f"uv {e[0]:.3e} T {e[1]:.3e} eta {e[2]:.3e}"
+                      for e in out))
+    # velocity error: int-pg + advection discretization, expected ~2
+    # for the smooth manufactured state (ref slope_rtol 0.07 on a
+    # 3-point ladder; we allow 0.25 as in test_swe_mms)
+    slope_uv = stats.linregress(h, np.log([e[0] for e in out])).slope
+    assert slope_uv > 2.0 * (1 - 0.25), f"uv slope {slope_uv}"
+    if case == "full":
+        slope_T = stats.linregress(h, np.log([e[1] for e in out])).slope
+        assert slope_T > 2.0 * (1 - 0.25), f"temp slope {slope_T}"
+    else:
+        # no advection: temperature must stay near machine precision
+        assert out[-1][1] < 1e-8 * 20.0
