@@ -15,7 +15,7 @@ Dirichlet data on a box instead — its gmsh pipeline has no periodic
 meshes), so every interior term is exercised with no boundary terms in
 the error budget.  Sign conventions under test (momentum tendency):
 
-    du/dt = -div(u u) - d(w u)/dz + f v - g dr/dx + src_u
+    du/dt = -div(u u) - d(w u)/dz + f v + g dr/dx + src_u
     dT/dt = -div(u T) - d(w T)/dz + src_T
     r     = -1/rho0 int_z^0 rho' dz,   rho' = -alpha (T - T_ref)
 """
@@ -62,9 +62,9 @@ def _derive(case):
     r = -sp.Rational(1) / RHO0 * sp.integrate(rho_p.subs(z, zz), (zz, z, 0))
 
     src_u = (u * u.diff(x) + v * u.diff(y) + w * u.diff(z)
-             - F0 * v + g * r.diff(x))
+             - F0 * v - g * r.diff(x))
     src_v = (u * v.diff(x) + v * v.diff(y) + w * v.diff(z)
-             + F0 * u + g * r.diff(y))
+             + F0 * u - g * r.diff(y))
     src_T = u * temp.diff(x) + v * temp.diff(y) + w * temp.diff(z)
 
     syms = (x, y, z)
@@ -85,7 +85,15 @@ def _case(name):
 
 def _run(case, refinement):
     d = _case(case)
+    rho0_saved = physical_constants["rho0"]
     physical_constants["rho0"] = RHO0
+    try:
+        return _run_inner(d, refinement)
+    finally:
+        physical_constants["rho0"] = rho0_saved
+
+
+def _run_inner(d, refinement):
     nx, ny, nz = 4 * refinement, 4 * refinement, 2 * refinement
     mesh2d = PeriodicRectangleMesh(nx, ny, LX, LY, direction="both")
     s = FlowSolver(mesh2d, jnp.asarray(DEPTH), nz)

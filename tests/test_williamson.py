@@ -110,3 +110,132 @@ def test_williamson2_steady_state():
     rel4, urel4, _ = run_day(4)
     print(f"W2 ref4: elev rel err {rel4:.4f}, u rel {urel4:.4f}")
     assert rel4 < 0.65 * rel3, (rel3, rel4)
+
+
+def _setup_facade(refinement, family="rt-dg", dt=900.0, hours=6.0):
+    """Williamson-2 through the FlowSolver2d facade as a user script
+    would run it (the reference's ``test/sphere/test_williamson.py``
+    drives ``solver2d.FlowSolver2d`` with an H(div) family)."""
+    import jax.numpy as jnp
+    from thetis_tpu.model.flowsolver2d import FlowSolver2d
+
+    mesh = IcosahedralSphereMesh(R_EARTH, refinement)
+    u0 = 2 * np.pi * R_EARTH / (12.0 * 86400.0)
+    h0 = 2.94e4 / G
+    s = FlowSolver2d(mesh, jnp.asarray(h0))
+    o = s.options
+    o.element_family = family
+    o.polynomial_degree = 0
+    o.swe_timestepper_type = "CrankNicolson"
+    o.swe_timestepper_options.use_semi_implicit_linearization = True
+    o.swe_timestepper_options.solver_parameters = NewtonParameters(
+        ksp_rtol=1e-9, ksp_max_it=96, gmres_restart=24)
+    o.timestep = dt
+    o.simulation_export_time = hours * 3600.0
+    o.simulation_end_time = hours * 3600.0
+    o.no_exports = True
+    xyz = mesh.coords_np
+    cent = mesh.cell_midpoints()
+    sin_lat_c = cent[:, 2] / np.linalg.norm(cent, axis=1)
+    amp = (R_EARTH * OMEGA * u0 + 0.5 * u0**2) / G
+    eta0 = (-amp * sin_lat_c**2)[:, None]
+    uvec = (u0 / R_EARTH) * np.stack(
+        [-xyz[:, 1], xyz[:, 0], np.zeros(mesh.nv)], axis=-1)
+    o.coriolis_frequency = jnp.asarray(2.0 * OMEGA * xyz[:, 2] / R_EARTH)
+    s.assign_initial_conditions(elev=jnp.asarray(eta0),
+                                uv=jnp.asarray(uvec))
+    return s, mesh, eta0, amp
+
+
+@pytest.mark.parametrize("family", ["rt-dg", "bdm-dg"])
+def test_williamson2_flowsolver_facade(family):
+    """Sphere case as a user script: FlowSolver2d on an icosahedral
+    SphereMesh, H(div) family, iterate() lifecycle, exact volume."""
+    s, mesh, eta0, amp = _setup_facade(3, family=family, hours=6.0)
+    s.initialize()
+    v0 = s.compute_volume_2d()
+    s.iterate()
+    v1 = s.compute_volume_2d()
+    area = np.asarray(mesh.cell_area_np)
+    err = np.asarray(s.fields.elev_2d.data[:, 0] - eta0[:, 0])
+    rel = math.sqrt(float((area * err**2).sum()) / area.sum()) / amp
+    print(f"W2 facade {family} ref3 6h: rel err {rel:.4f}")
+    assert abs(v1 - v0) < 1e-9 * abs(v0), "volume not conserved"
+    # 6 h on the coarse mesh: steady state held to discretization error
+    assert rel < 0.08, f"steady state lost through the facade: {rel}"
+
+
+def _lauter3_state(mesh, t):
+    """Läuter et al. (2005) example 3 — unsteady solid-body rotation:
+    analytic (elev_P0, uv_vertex, bath_vertex) at time ``t`` (ref
+    ``test/sphere/test_williamson.py::setup_lauter3``)."""
+    alpha = np.pi / 4.0
+    k1 = 133681.0
+    u0 = 2 * np.pi * R_EARTH / (12.0 * 86400.0)
+    c = 12e3
+    xt, yt = np.cos(OMEGA * t), np.sin(OMEGA * t)
+
+    def fields(xyz):
+        x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        r_h = np.sqrt(x**2 + y**2 + 1e-3)
+        u_enu = u0 / R_EARTH / r_h * (
+            np.sin(alpha) * z * (x * xt - y * yt)
+            + np.cos(alpha) * r_h**2)
+        v_enu = -u0 * np.sin(alpha) / r_h * (y * xt + x * yt)
+        # ENU basis -> ECEF
+        ne = np.stack([-y, x, np.zeros_like(x)], -1) / r_h[:, None]
+        nn = np.stack([-x * z, -y * z, x**2 + y**2], -1) \
+            / (r_h * R_EARTH)[:, None]
+        uv = u_enu[:, None] * ne + v_enu[:, None] * nn
+        orog = (OMEGA * z) ** 2 / G / 2.0
+        b = (np.sin(alpha) * (-x * xt + y * yt)
+             + np.cos(alpha) * z) / R_EARTH
+        elev = (-0.5 * (u0 * b + OMEGA * z) ** 2 + k1) / G + orog - c
+        bath = -orog + c
+        return uv, elev, bath
+
+    uv_v, _, bath_v = fields(mesh.coords_np)
+    _, elev_c, _ = fields(mesh.cell_midpoints())
+    return uv_v, elev_c[:, None], bath_v
+
+
+def run_lauter3(refinement, dt=900.0, hours=24.0):
+    """Läuter-3 through the FlowSolver2d facade; returns the relative
+    elevation L2 error against the rotated analytic state at t_end."""
+    import jax.numpy as jnp
+    from thetis_tpu.model.flowsolver2d import FlowSolver2d
+
+    mesh = IcosahedralSphereMesh(R_EARTH, refinement)
+    uv0, eta0, bath = _lauter3_state(mesh, 0.0)
+    s = FlowSolver2d(mesh, jnp.asarray(bath))
+    o = s.options
+    o.element_family = "rt-dg"
+    o.polynomial_degree = 0
+    o.swe_timestepper_type = "CrankNicolson"
+    o.swe_timestepper_options.use_semi_implicit_linearization = True
+    o.swe_timestepper_options.solver_parameters = NewtonParameters(
+        ksp_rtol=1e-9, ksp_max_it=96, gmres_restart=24)
+    o.timestep = dt
+    o.simulation_export_time = hours * 3600.0
+    o.simulation_end_time = hours * 3600.0
+    o.no_exports = True
+    xyz = mesh.coords_np
+    o.coriolis_frequency = jnp.asarray(2.0 * OMEGA * xyz[:, 2] / R_EARTH)
+    s.assign_initial_conditions(elev=jnp.asarray(eta0),
+                                uv=jnp.asarray(uv0))
+    s.iterate()
+    _, eta_T, _ = _lauter3_state(mesh, s.simulation_time)
+    area = np.asarray(mesh.cell_area_np)
+    err = np.asarray(s.fields.elev_2d.data[:, 0] - eta_T[:, 0])
+    scale = float(np.abs(eta_T).max())
+    return math.sqrt(float((area * err**2).sum()) / area.sum()) / scale
+
+
+def test_lauter3_unsteady():
+    """Unsteady analytic solid-body rotation: the error must converge
+    under refinement (ref parametrizes williamson2 + lauter3)."""
+    r3 = run_lauter3(3)
+    r4 = run_lauter3(4)
+    print(f"lauter3: rel elev err ref3 {r3:.4f} ref4 {r4:.4f}")
+    assert np.isfinite([r3, r4]).all()
+    assert r4 < 0.7 * r3, (r3, r4)

@@ -178,8 +178,19 @@ class TracerEquation3D(EquationBase):
         if src is not None:
             src = jnp.asarray(src)
             if src.ndim == 4:
-                # (nc, 3, nz, 2) prognostic-dof layout -> quad values
-                src = self.asm3d.cell_values(src)
+                # two 4-D layouts exist: the (nc, 3, nz, 2) prognostic-dof
+                # layout (the documented API for *_source_3d options) and
+                # prepared quad arrays (nc, nz, nq, nqv).  Disambiguate by
+                # shape — dof layout first, since it is the public one.
+                if src.shape[1] == 3 and src.shape[3] == 2 \
+                        and src.shape[2] == self.asm3d.nz:
+                    src = self.asm3d.cell_values(src)
+                elif src.shape != c["c_q"].shape:
+                    raise ValueError(
+                        f"4-D tracer source shape {src.shape} matches "
+                        f"neither the dof layout (nc,3,nz,2) nor the quad "
+                        f"layout {c['c_q'].shape}"
+                    )
             B["cell"].add(src if src.ndim >= 3
                           else jnp.broadcast_to(src, c["c_q"].shape))
 

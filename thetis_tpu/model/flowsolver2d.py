@@ -92,6 +92,11 @@ class FlowSolver2d:
             "element families implemented so far: dg-dg, dg-cg, rt-dg, "
             "bdm-dg"
         )
+        manifold = getattr(mesh, "geometric_dimension", 2) == 3
+        assert not manifold or family in ("rt-dg", "bdm-dg"), (
+            "manifold (sphere) meshes require an H(div) element family "
+            "(ref solver2d.py:314-318)"
+        )
         p = self.options.polynomial_degree
         self.function_spaces = type("FS", (), {})()
         fs = self.function_spaces
@@ -106,7 +111,17 @@ class FlowSolver2d:
                 f"{family} implements the lowest-order H(div) x P0 pair: "
                 "set options.polynomial_degree = 0"
             )
-            self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", 1))
+            if manifold:
+                # embedded manifolds (SphereMesh) have no global planar
+                # chart, so the planar DGAssembler cannot be built; the
+                # H(div) spaces and the RTDG equations only consume the
+                # quadrature tabulations of the assembly context
+                from types import SimpleNamespace
+                from ..fem.reference_element import ELEMENTS
+                self.asm = SimpleNamespace(space=SimpleNamespace(
+                    _tab_np=ELEMENTS[("DG", 1)].tabulate(3)))
+            else:
+                self.asm = DGAssembler(mesh, FunctionSpace(mesh, "DG", 1))
             if family == "rt-dg":
                 from ..fem.rt import RTSpace
 

@@ -826,21 +826,24 @@ class FlowSolver:
             uv_total = state["uv_3d"] + expand_function_to_3d(
                 sw["uv"], ext.nz
             )
+            # spatially-varying 2D background viscosity: expand to the 3D
+            # momentum dof layout unconditionally — the momentum _nu_eval
+            # supports only scalars or (nc, 3, nz, 2) fields (CG1/DG
+            # detection is done at _swe_fields time on the function space,
+            # not on array shape, which misfires when nc == nv)
             visc_h = swe_fields.get("viscosity_h")
+            vh_cells = swe_fields.get("viscosity_h_cells")
+            if vh_cells is not None:
+                visc_h = jnp.broadcast_to(
+                    vh_cells[:, :, None, None],
+                    vh_cells.shape[:2] + (ext.nz, 2)
+                )
             if smag is not None:
                 # Smagorinsky closure adds to the background viscosity
                 # (ref ``_update_stabilization_params``,
                 # ``coupled_timeintegrator.py:93-99``)
                 nu_smag = smag.solve(uv_total, geom0)
-                vh = visc_h if visc_h is not None else 0.0
-                if jnp.ndim(vh) >= 1:
-                    # 2D background field -> 3D cell-node form so it can
-                    # add to the (nc, 3, nz, 2) Smagorinsky viscosity
-                    if vh.shape[:1] == (self.mesh2d.nv,):  # CG1 vertex field
-                        vh = jnp.asarray(vh)[self.mesh2d.cells]
-                    if jnp.ndim(vh) == 2:               # (nc, 3) cell-node
-                        vh = vh[:, :, None, None]
-                visc_h = nu_smag + vh
+                visc_h = nu_smag + (visc_h if visc_h is not None else 0.0)
             fields3 = {
                 "w_3d": w_adv,
                 "w_mesh_3d": w_mesh,
@@ -1122,9 +1125,15 @@ class FlowSolver:
             out["wind_stress"] = v
         if o.horizontal_viscosity is not None:
             v = o.horizontal_viscosity
-            out["viscosity_h"] = (
-                v.data if isinstance(v, Function) else jnp.asarray(float(v))
-            )
+            if isinstance(v, Function):
+                out["viscosity_h"] = v.data
+                vh = jnp.asarray(v.data)
+                if v.space.family.upper() == "CG" and vh.ndim == 1:
+                    vh = vh[self.mesh2d.cells]  # CG1 vertices -> cell nodes
+                # (nc, 3) cell-node form for the 3D momentum viscosity
+                out["viscosity_h_cells"] = vh
+            else:
+                out["viscosity_h"] = jnp.asarray(float(v))
         if o.horizontal_diffusivity is not None:
             out["diffusivity_h"] = jnp.asarray(float(o.horizontal_diffusivity))
         if getattr(o, "volume_source_2d", None) is not None:
