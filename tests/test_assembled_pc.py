@@ -225,6 +225,13 @@ def test_analytic_blocks_match_probing(visc, wd, periodic, modesplit):
     np.testing.assert_allclose(np.asarray(blocks_ana),
                                np.asarray(blocks_probe),
                                rtol=5e-13, atol=5e-13 * scale)
+    # the component-major layout must be the exact transpose (it is the
+    # native form the CN/DIRK steppers consume on stencil meshes)
+    blocks_T = assemble_swe_blocks(eq, state, fields, bnd_values, th * dt,
+                                   layout="T")
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(blocks_T, (3, 0, 1, 2))),
+        np.asarray(blocks_ana))
 
 
 def test_fieldsplit_pc_high_cfl_convergence():

@@ -694,17 +694,20 @@ class ShallowWaterEquations(EquationBase):
         return swe_state(asm.mass_inverse(r["uv"]), asm.mass_inverse(r["elev"]))
 
     def assemble_operator_blocks(self, u_lag, fields, bnd_values, coeff,
-                                 mass_scale=1.0, return_residual=False):
+                                 mass_scale=1.0, return_residual=False,
+                                 layout="cell"):
         """Exact ring blocks of ``mass_scale*M - coeff*dR/du`` at the
         semi-implicit linearization, assembled analytically in value
         space (:func:`~thetis_tpu.equations.swe_blocks.assemble_swe_blocks`
         — the fast path the assembled-KSP steppers prefer over color
-        probing)."""
+        probing).  ``layout="T"`` returns the component-major
+        (4, 9, 9, nc) form, the native layout on TPU."""
         from .swe_blocks import assemble_swe_blocks
 
         return assemble_swe_blocks(self, u_lag, fields, bnd_values, coeff,
                                    mass_scale=mass_scale,
-                                   return_residual=return_residual)
+                                   return_residual=return_residual,
+                                   layout=layout)
 
 
 class ModeSplit2DEquations(ShallowWaterEquations):

@@ -19,10 +19,10 @@ the context entries elementwise).  The Jacobian therefore factorizes
     dR/du = P^T  (dB/dvals)  E
 
 with ``E`` the (static) dof->value tabulations and ``P`` the (static)
-value->dof projections.  ``dB/dvals`` is obtained with 21 value-space
-unit tangents through ``jax.linearize`` of the bucket construction —
-only the pointwise term algebra is differentiated (measured 26 ms for
-all 21 probes on the 102k-cell TPU bench); the tabulation / gather /
+value->dof projections.  ``dB/dvals`` is obtained with 7 cell + 14
+trace value-space unit tangents through ``jax.linearize`` of the two
+(separable) halves of the bucket construction — only the pointwise
+term algebra is differentiated; the tabulation / gather /
 projection machinery is contracted ONCE, as a chain of
 ``(batch, small, small)`` matmuls against basis matrices built on the
 fly from the shared assembler tables.  Two TPU constraints shape this
@@ -94,25 +94,36 @@ def _bucket_fn(eq, base_c, label):
     return f
 
 
-def _probe_basis(nc, nq, nf, nqf, dtype):
-    """The 21 value-space unit tangents, stacked on a leading axis:
-    7 cell probes followed by 2 sides x 7 trace probes.  Built from
-    tiny broadcast patterns — nothing mesh-sized is materialized."""
-    P = _NKC + 2 * _NKF
+def _probe_basis_cell(nc, nq, dtype):
+    """The 7 cell value-space unit tangents on a leading axis.  Built
+    from tiny broadcast patterns — nothing mesh-sized is materialized."""
+    P = _NKC
     zc2 = np.zeros((P, 1, 1, 2), np.float64)
     zc1 = np.zeros((P, 1, 1), np.float64)
     zc4 = np.zeros((P, 1, 1, 2, 2), np.float64)
-    zf2 = np.zeros((P, 1, 2, 1, 2), np.float64)
-    zf1 = np.zeros((P, 1, 2, 1), np.float64)
-    zf4 = np.zeros((P, 1, 2, 1, 2, 2), np.float64)
     for a in range(2):
         zc2[a, ..., a] = 1.0
     zc1[2] = 1.0
     for a in range(2):
         for i in range(2):
             zc4[3 + 2 * a + i, ..., a, i] = 1.0
+
+    def bc(z, shape):
+        return jnp.broadcast_to(jnp.asarray(z, dtype=dtype), (P,) + shape)
+
+    return (bc(zc2, (nc, nq, 2)), bc(zc1, (nc, nq)),
+            bc(zc4, (nc, nq, 2, 2)))
+
+
+def _probe_basis_trace(nf, nqf, dtype):
+    """The 2 sides x 7 trace value-space unit tangents on a leading
+    axis (local index ``si * 7 + k``)."""
+    P = 2 * _NKF
+    zf2 = np.zeros((P, 1, 2, 1, 2), np.float64)
+    zf1 = np.zeros((P, 1, 2, 1), np.float64)
+    zf4 = np.zeros((P, 1, 2, 1, 2, 2), np.float64)
     for s in range(2):
-        o = _NKC + s * _NKF
+        o = s * _NKF
         for a in range(2):
             zf2[o + a, :, s, :, a] = 1.0
         zf1[o + 2, :, s, :] = 1.0
@@ -123,11 +134,8 @@ def _probe_basis(nc, nq, nf, nqf, dtype):
     def bc(z, shape):
         return jnp.broadcast_to(jnp.asarray(z, dtype=dtype), (P,) + shape)
 
-    return (
-        bc(zc2, (nc, nq, 2)), bc(zc1, (nc, nq)), bc(zc4, (nc, nq, 2, 2)),
-        bc(zf2, (nf, 2, nqf, 2)), bc(zf1, (nf, 2, nqf)),
-        bc(zf4, (nf, 2, nqf, 2, 2)),
-    )
+    return (bc(zf2, (nf, 2, nqf, 2)), bc(zf1, (nf, 2, nqf)),
+            bc(zf4, (nf, 2, nqf, 2, 2)))
 
 
 def _interleave(a, b):
@@ -166,11 +174,12 @@ def _basis_rows(T, G):
     return E7, Eg2
 
 
-def swe_mass_blocks(eq, u_lag, dtype):
-    """Packed diagonal blocks of the mass operator (nc, 9, 9): the DG
-    mass matrix per component, plus the wetting-and-drying displacement
-    Jacobian d(disp)/d(eta) on the continuity rows when enabled
-    (ref ``shallowwater_eq.py:834-850`` displaced mass)."""
+def swe_mass_blocks(eq, u_lag, dtype, layout="cell"):
+    """Packed diagonal blocks of the mass operator (nc, 9, 9) — or
+    (9, 9, nc) with ``layout="T"`` — the DG mass matrix per component,
+    plus the wetting-and-drying displacement Jacobian d(disp)/d(eta) on
+    the continuity rows when enabled (ref ``shallowwater_eq.py:834-850``
+    displaced mass)."""
     asm = eq.asm
     mesh = asm.mesh
     Mc = np.asarray(asm._Mref_np)                        # (nd, nd)
@@ -180,8 +189,12 @@ def swe_mass_blocks(eq, u_lag, dtype):
         for et in range(3):
             for a in range(2):
                 Mfull[3 + 2 * dt_ + a, 3 + 2 * et + a] = Mc[dt_, et]
-    blocks = jnp.asarray(Mfull, dtype=dtype)[None] * \
-        jnp.asarray(mesh.detJ, dtype=dtype)[:, None, None]
+    detJ = jnp.asarray(mesh.detJ, dtype=dtype)
+    if layout == "T":
+        # (9, 9, nc): cell index minormost — (i, j) slabs of detJ
+        blocks = jnp.asarray(Mfull, dtype=dtype)[:, :, None] * detJ
+    else:
+        blocks = jnp.asarray(Mfull, dtype=dtype)[None] * detJ[:, None, None]
     if eq.depth.use_wetting_and_drying:
         eta_q0 = asm.cell_values(u_lag["elev"])
         _, dd = jax.jvp(
@@ -190,8 +203,18 @@ def swe_mass_blocks(eq, u_lag, dtype):
         # eta rows: sum_q w phi_i (d disp/d eta_q) phi_j
         phi = asm.space.phi
         w = asm.wdetJ
-        add = jnp.einsum("cq,qi,qj->cij", w * dd, phi, phi)
-        blocks = blocks.at[:, :3, :3].add(add)
+        if layout == "T":
+            phi_np = np.asarray(asm.space.phi)
+            wdd = (w * dd).T                             # (nq, nc) slabs
+            nq_ = wdd.shape[0]
+            for i in range(3):
+                for j in range(3):
+                    add = sum(float(phi_np[q, i] * phi_np[q, j]) * wdd[q]
+                              for q in range(nq_))
+                    blocks = blocks.at[i, j].add(add)
+        else:
+            add = jnp.einsum("cq,qi,qj->cij", w * dd, phi, phi)
+            blocks = blocks.at[:, :3, :3].add(add)
     return blocks
 
 
@@ -218,7 +241,7 @@ def _project_buckets(eq, f0):
 
 def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
                         mass_scale=1.0, label="all",
-                        return_residual=False):
+                        return_residual=False, layout="cell"):
     """Assembled ring blocks of the semi-implicit operator
 
         A = mass_scale * M  -  coeff * dR/du |_(u_lag)
@@ -227,7 +250,11 @@ def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
     stages; the semi-implicit residual is linear given the lagged state,
     so these blocks are exact).  Returns (nc, 4, 9, 9) blocks in the
     ``cell_ring`` slot layout (boundary-mirror slots folded into the
-    diagonal so the result matches color probing exactly).
+    diagonal so the result matches color probing exactly); with
+    ``layout="T"`` the component-major (4, 9, 9, nc) transpose is
+    returned instead — the native form (the contraction already produces
+    (out*in, nc) slab stacks, and the TPU (8,128) tiling pads the
+    cell-major form ~25x, see ``solvers/assembled.py::ShiftStencil``).
 
     With ``return_residual`` also returns ``R(u_lag)`` (an swe_state
     pytree, bit-identical to ``eq.residual(label, u_lag, u_lag, fields,
@@ -250,11 +277,27 @@ def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
     )
     nf, _, nqf = vals0[4].shape
     f = _bucket_fn(eq, c0, label)
-    f0, lin = jax.linearize(f, vals0)
-    basis = _probe_basis(nc, nq, nf, nqf, dtype)
-    out = jax.vmap(lambda *t: lin(tuple(t)))(*basis)
-    (d_uc, d_ug, d_ec, d_eg, d_uf, d_fg, d_ef) = out
-    P = _NKC + 2 * _NKF
+    f0 = f(vals0)
+
+    # The Jacobian is block-separable: cell buckets depend only on the
+    # cell quad values and facet buckets only on the traces (each term
+    # ``add`` is pointwise in its own sites — the contraction below
+    # would discard any cross tangents anyway).  Linearize the two
+    # halves SEPARATELY so the 7 cell probes never evaluate the facet
+    # algebra and the 14 trace probes never evaluate the cell algebra
+    # (~2x tangent work, and the tangent tensors shrink 3x / 1.5x).
+    def f_cell(cv):
+        return f(cv + vals0[3:])[:4]
+
+    def f_trace(tv):
+        return f(vals0[:3] + tv)[4:]
+
+    _, lin_c = jax.linearize(f_cell, vals0[:3])
+    _, lin_f = jax.linearize(f_trace, vals0[3:])
+    d_uc, d_ug, d_ec, d_eg = jax.vmap(lambda *t: lin_c(tuple(t)))(
+        *_probe_basis_cell(nc, nq, dtype))
+    d_uf, d_fg, d_ef = jax.vmap(lambda *t: lin_f(tuple(t)))(
+        *_probe_basis_trace(nf, nqf, dtype))
 
     # The basis contractions below are fully unrolled multiply-adds on
     # mesh-trailing (..., nc)/(..., nf) slabs.  The natural formulation —
@@ -312,14 +355,6 @@ def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
                                         else D[I][Jj] + t)
         return D
 
-    def _rows_to_blocks(D, lead_shape):
-        ref = next(x for row in D for x in row if x is not None)
-        flat = [x if x is not None else jnp.zeros_like(ref)
-                for row in D for x in row]
-        out = jnp.stack(flat)                            # (prod, batch)
-        return jnp.moveaxis(out, -1, 0).reshape(
-            (out.shape[-1],) + lead_shape)
-
     # ---- cell part ---------------------------------------------------
     d_ucT = jnp.transpose(d_uc, (2, 3, 0, 1))        # (nq, 2, P, nc)
     d_ecT = jnp.transpose(d_ec, (2, 0, 1))           # (nq, P, nc)
@@ -347,7 +382,11 @@ def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
 
     Dr = _contract_T(jrow_c, beta_c, beta_c, lambda q: wdetJT[q],
                      OUT_ROWS_C, nq)
-    D = _rows_to_blocks(Dr, (9, 9))                  # (nc, 9, 9)
+    # cell part as a (81, nc) slab stack — row-major (i, j); the
+    # cell-major (nc, 9, 9) relayout is NEVER materialized on the T path
+    _ref = next(x for row in Dr for x in row if x is not None)
+    D_T = jnp.stack([x if x is not None else jnp.zeros_like(_ref)
+                     for row in Dr for x in row])        # (81, nc)
 
     # ---- facet part --------------------------------------------------
     # out rows [u, v, eta, fgrad(4)] — the E7 structure, no eta-grad
@@ -362,7 +401,7 @@ def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
 
     def _facet_rows(so, si):
         def jrow(q, o, kl):
-            k = _NKC + si * _NKF + kl
+            k = si * _NKF + kl
             if o < 2:
                 return d_ufT[so, q, o, k]
             if o == 2:
@@ -385,30 +424,34 @@ def assemble_swe_blocks(eq, u_lag, fields, bnd_values, coeff,
         for so in range(2) for si in range(2)
         for i in range(9) for j in range(9)
     ]
-    Bf = jnp.moveaxis(jnp.stack(flat_f), -1, 0).reshape(
-        nf, 2, 2, 9, 9)
+    # (nf*4, 81): row-major (facet, so, si) rows of flattened 9x9 blocks
+    # — ROW gathers below (gathered axis leading, block riding the lane
+    # axis) are the cheap TPU gather orientation (cost flat in width)
+    Bflat = jnp.stack(flat_f).T.reshape(nf, 4, 81).reshape(nf * 4, 81)
 
     # ---- gather facet blocks into ring slots -------------------------
     cf = jnp.asarray(mesh.cell_facets)                   # (nc, 3)
     cs = jnp.asarray(mesh.cell_sides)                    # (nc, 3)
     fcells = jnp.asarray(mesh.facet_cells)
-    Bflat = Bf.reshape(nf * 4, 81)
-    own = (cf * 4 + cs * 2 + cs).reshape(-1)             # (nc*3,) [s,s]
-    opp = (cf * 4 + cs * 2 + (1 - cs)).reshape(-1)       # (nc*3,) [s,1-s]
-    B_own = Bflat[own].reshape(nc, 3, 9, 9)
-    B_opp = Bflat[opp].reshape(nc, 3, 9, 9)
+    is_bnd_f = (fcells[:, 0] == fcells[:, 1])            # (nf,)
     # interior facets: [s,1-s] couples to the neighbour (ring slot l+1);
     # boundary facets: the mirror trace IS the owner's trace -> fold into
     # the diagonal (matches probing, which sees one combined dependence)
-    is_bnd = (fcells[:, 0] == fcells[:, 1])[cf]          # (nc, 3)
-    bndm = is_bnd[..., None, None].astype(dtype)
-    diag = D + B_own.sum(1) + (B_opp * bndm).sum(1)
-    slots = B_opp * (1.0 - bndm)                         # (nc,3,9,9)
+    diag_acc = D_T                                       # (81, nc)
+    slots_T = []
+    for l in range(3):
+        base = cf[:, l] * 4 + cs[:, l] * 2
+        own_l = Bflat[base + cs[:, l]]                   # (nc, 81)
+        opp_l = Bflat[base + (1 - cs[:, l])]             # (nc, 81)
+        bnd_l = is_bnd_f[cf[:, l]][:, None].astype(dtype)
+        diag_acc = diag_acc + (own_l + opp_l * bnd_l).T
+        slots_T.append((opp_l * (1.0 - bnd_l)).T)        # (81, nc)
 
-    J = jnp.concatenate([diag[:, None], slots], axis=1)  # (nc,4,9,9)
-    M = swe_mass_blocks(eq, u_lag, dtype)
-    A = -coeff * J
-    A = A.at[:, 0].add(mass_scale * M)
+    J_T = jnp.stack([diag_acc] + slots_T).reshape(4, 9, 9, nc)
+    M_T = swe_mass_blocks(eq, u_lag, dtype, layout="T")
+    A_T = -coeff * J_T
+    A_T = A_T.at[0].add(mass_scale * M_T)
+    A = A_T if layout == "T" else jnp.transpose(A_T, (3, 0, 1, 2))
     if return_residual:
         return A, _project_buckets(eq, f0)
     return A

@@ -245,6 +245,13 @@ class ShiftStencil:
             return None
         return blocks[self.corr_rows, self.corr_slots]
 
+    def corr_blocks_T(self, blocks_T):
+        """Compact (n_corr, do, di) correction blocks from T-layout
+        (ns, do, di, nc) blocks (cheap: n_corr is O(boundary))."""
+        if not self.n_corr:
+            return None
+        return blocks_T[self.corr_slots, :, :, self.corr_rows]
+
     def apply_T(self, blocks_T, xT, corrB=None):
         """blocks_T (ns, do, di, nc), xT (di, nc) -> (do, nc)."""
         y = jnp.einsum("ijc,jc->ic", blocks_T[0], xT)
@@ -274,22 +281,15 @@ def get_stencil(mesh):
     return st
 
 
-def batched_inv_small(A):
-    """Batched small-matrix inverse by pivotless Gauss-Jordan.
-
-    XLA's batched ``linalg.inv`` lowers to a LAPACK-style loop that is
-    very slow on TPU (a batched 6x6 inverse measured 65 ms on v5e,
-    CLAUDE.md).  The elimination is fully unrolled on batch-trailing
-    (n,) slabs: materializing (n, d, 2d) intermediates puts the two tiny
-    dims on the padded (8,128) tile axes (measured 12.9 ms at d=9,
-    n=102k vs ~1 ms for the slab form).  Pivotless is safe here: the
+def batched_inv_small_T(AT):
+    """T-layout batched small-matrix inverse: (d, d, n) -> (d, d, n) by
+    pivotless Gauss-Jordan on batch-trailing (n,) slabs (see
+    :func:`batched_inv_small` for why).  Pivotless is safe here: the
     blocks are theta-weighted mass + jump-penalty matrices whose
     diagonal stays positive and dominant."""
-    n, d, _ = A.shape
-    # M as a d x 2d grid of (n,) slabs, batch axis trailing
-    AT = jnp.transpose(A, (1, 2, 0))                     # (d, d, n)
-    one = jnp.ones((n,), dtype=A.dtype)
-    zero = jnp.zeros((n,), dtype=A.dtype)
+    d, _, n = AT.shape
+    one = jnp.ones((n,), dtype=AT.dtype)
+    zero = jnp.zeros((n,), dtype=AT.dtype)
     M = [[AT[i, j] for j in range(d)]
          + [one if j == i else zero for j in range(d)]
          for i in range(d)]
@@ -302,7 +302,19 @@ def batched_inv_small(A):
             f = M[i][k]
             M[i] = [M[i][j] - f * piv[j] for j in range(2 * d)]
         M[k] = piv
-    out = jnp.stack([jnp.stack(M[i][d:]) for i in range(d)])  # (d, d, n)
+    return jnp.stack([jnp.stack(M[i][d:]) for i in range(d)])  # (d, d, n)
+
+
+def batched_inv_small(A):
+    """Batched small-matrix inverse by pivotless Gauss-Jordan.
+
+    XLA's batched ``linalg.inv`` lowers to a LAPACK-style loop that is
+    very slow on TPU (a batched 6x6 inverse measured 65 ms on v5e,
+    CLAUDE.md).  The elimination is fully unrolled on batch-trailing
+    (n,) slabs: materializing (n, d, 2d) intermediates puts the two tiny
+    dims on the padded (8,128) tile axes (measured 12.9 ms at d=9,
+    n=102k vs ~1 ms for the slab form)."""
+    out = batched_inv_small_T(jnp.transpose(A, (1, 2, 0)))
     return jnp.transpose(out, (2, 0, 1))
 
 
@@ -432,22 +444,33 @@ def assemble_affine_operator(F, x0, mesh, dtype=None):
 
 
 def _ring_solve_impl(blocks, ring, b, diag_inv, rtol, restart, max_cycles,
-                     coarse, rtol_scale=None, stencil=None):
+                     coarse, rtol_scale=None, stencil=None, layout="cell"):
     """Pure GMRES core on an assembled ring operator: ``b`` (nc, d) ->
     ``(x, rnorm, bnorm)`` with x (nc, d).  ``rtol_scale`` optionally
     replaces ``||b||`` as the convergence anchor (warm starts keep the
-    target anchored to the original RHS)."""
+    target anchored to the original RHS).  With ``layout="T"`` the
+    blocks/diag_inv arrive component-major — (ns, d, d, nc)/(d, d, nc) —
+    and no relayout is paid at all (requires a stencil)."""
     from .newton import _fgmres_flat
 
-    nc, _, d, _ = blocks.shape
+    if layout == "T":
+        _, d, _, nc = blocks.shape
+    else:
+        nc, _, d, _ = blocks.shape
 
     if stencil is not None:
         # component-major fast path: cell index rides the 128-lane axis
         # everywhere inside the Krylov loop (see ShiftStencil.apply_T);
-        # the one-off layout transposes amortize over the iterations
-        blocks_T = jnp.transpose(blocks, (1, 2, 3, 0))   # (ns, d, d, nc)
-        diag_T = jnp.transpose(diag_inv, (1, 2, 0))       # (d, d, nc)
-        corrB = stencil.corr_blocks(blocks)
+        # T-layout callers skip the relayout entirely (the cell-major
+        # (nc, ns, d, d) form is (8,128)-padded ~25x at d=9 — PERF.md)
+        if layout == "T":
+            blocks_T = blocks
+            diag_T = diag_inv
+            corrB = stencil.corr_blocks_T(blocks_T)
+        else:
+            blocks_T = jnp.transpose(blocks, (1, 2, 3, 0))  # (ns, d, d, nc)
+            diag_T = jnp.transpose(diag_inv, (1, 2, 0))     # (d, d, nc)
+            corrB = stencil.corr_blocks(blocks)
 
         def mv(v):
             return stencil.apply_T(blocks_T, v.reshape(d, nc),
@@ -538,9 +561,9 @@ def _ring_transpose(blocks, ring):
 from functools import partial  # noqa: E402
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _ring_solve(blocks, ring, b, diag_inv, rtol_scale, rtol, restart,
-                max_cycles, coarse, stencil):
+                max_cycles, coarse, stencil, layout):
     """Differentiable assembled-ring solve ``x = A^{-1} b``.
 
     The FGMRES core uses ``lax.while_loop`` (not reverse-differentiable);
@@ -553,29 +576,37 @@ def _ring_solve(blocks, ring, b, diag_inv, rtol_scale, rtol, restart,
     carry no gradient."""
     return _ring_solve_impl(blocks, ring, b, diag_inv, rtol, restart,
                             max_cycles, coarse, rtol_scale=rtol_scale,
-                            stencil=stencil)
+                            stencil=stencil, layout=layout)
 
 
 def _ring_solve_fwd(blocks, ring, b, diag_inv, rtol_scale, rtol, restart,
-                    max_cycles, coarse, stencil):
+                    max_cycles, coarse, stencil, layout):
     out = _ring_solve_impl(blocks, ring, b, diag_inv, rtol, restart,
                            max_cycles, coarse, rtol_scale=rtol_scale,
-                           stencil=stencil)
+                           stencil=stencil, layout=layout)
     return out, (blocks, ring, diag_inv, rtol_scale, out[0])
 
 
-def _ring_solve_bwd(rtol, restart, max_cycles, coarse, stencil, res,
-                    cotangents):
+def _ring_solve_bwd(rtol, restart, max_cycles, coarse, stencil, layout,
+                    res, cotangents):
     blocks, ring, diag_inv, rtol_scale, x = res
     xbar = cotangents[0]  # rnorm/bnorm cotangents are dead ends
-    bT = _ring_transpose(blocks, ring)
+    # adjoint solves are rare (one per outer VJP) — the T layout pays the
+    # cell-major round trip here rather than complicating _ring_transpose
+    blocks_c = (jnp.transpose(blocks, (3, 0, 1, 2)) if layout == "T"
+                else blocks)
+    diag_c = (jnp.transpose(diag_inv, (2, 0, 1)) if layout == "T"
+              else diag_inv)
+    bT = _ring_transpose(blocks_c, ring)
     coarseT = coarse.transpose() if coarse is not None else None
     # the transposed operator couples through the SAME (symmetric) facet
     # adjacency, so the forward stencil applies unchanged to bT
     lam, _, _ = _ring_solve_impl(
-        bT, ring, xbar, diag_inv.transpose(0, 2, 1), rtol, restart,
+        bT, ring, xbar, diag_c.transpose(0, 2, 1), rtol, restart,
         max_cycles, coarseT, stencil=stencil)
     blocks_bar = -jnp.einsum("co,csj->csoj", lam, x[ring])
+    if layout == "T":
+        blocks_bar = jnp.transpose(blocks_bar, (1, 2, 3, 0))
     ring_bar = np.zeros(ring.shape, dtype=jax.dtypes.float0)
     scale_bar = None if rtol_scale is None else jnp.zeros_like(rtol_scale)
     return blocks_bar, ring_bar, lam, jnp.zeros_like(diag_inv), scale_bar
@@ -584,8 +615,17 @@ def _ring_solve_bwd(rtol, restart, max_cycles, coarse, stencil, res,
 _ring_solve.defvjp(_ring_solve_fwd, _ring_solve_bwd)
 
 
+def ring_apply_T(blocks_T, x, stencil):
+    """T-layout ring matvec on a cell-major vector: ``x`` (nc, d) ->
+    (nc, d) through :meth:`ShiftStencil.apply_T` (vector transposes are
+    cheap; the blocks never leave the component-major layout)."""
+    corrB = stencil.corr_blocks_T(blocks_T)
+    return stencil.apply_T(blocks_T, x.T, corrB).T
+
+
 def ring_gmres(blocks, ring, b, diag_inv=None, rtol=1e-5, restart=24,
-               max_cycles=4, coarse=None, x0=None, stencil=None):
+               max_cycles=4, coarse=None, x0=None, stencil=None,
+               layout="cell", r0=None):
     """Solve ``A x = b`` for an assembled 1-ring operator with restarted
     GMRES, right-preconditioned by block-Jacobi (inverted diagonal
     blocks), optionally wrapped in a two-level V-cycle with a
@@ -594,28 +634,37 @@ def ring_gmres(blocks, ring, b, diag_inv=None, rtol=1e-5, restart=24,
     (cf. PETSc KSP on the assembled Jacobian, the reference's 2D default
     ``options.py:44-48``).
 
+    ``layout="T"`` takes component-major blocks (ns, d, d, nc) — the
+    TPU-native form; requires a stencil.  Vectors stay (nc, d).
+
     Reverse-differentiable via :func:`_ring_solve`'s implicit-function
     adjoint.  With a warm start ``x0``, the residual system
     ``A dx = b - A x0`` is solved (with the convergence target still
     anchored to ``||b||``) and ``x = x0 + dx``; the adjoint stays exact
     because the direct ``x0`` path and the ``-A^{-1} A x0`` path cancel
-    analytically."""
+    analytically.  A caller that knows ``b - A x0`` in closed form may
+    pass it as ``r0`` to skip the matvec (gradients then flow through
+    ``r0``'s own construction, which is algebraically the same
+    function)."""
     if diag_inv is None:
-        diag_inv = batched_inv_small(blocks[:, 0])
+        diag_inv = (batched_inv_small_T(blocks[0]) if layout == "T"
+                    else batched_inv_small(blocks[:, 0]))
 
     if x0 is not None:
-        r0 = b - ring_apply(blocks, ring, x0, stencil=stencil)
+        if r0 is None:
+            r0 = b - (ring_apply_T(blocks, x0, stencil) if layout == "T"
+                      else ring_apply(blocks, ring, x0, stencil=stencil))
         bscale = jnp.linalg.norm(b.reshape(-1))
         dx, rnorm, _ = _ring_solve(blocks, ring, r0, diag_inv, bscale,
                                    float(rtol), restart, max_cycles, coarse,
-                                   stencil)
+                                   stencil, layout)
         x = x0 + dx
         # the residual-system rnorm IS the true residual ||b - A x||
         bnorm = bscale
     else:
         x, rnorm, bnorm = _ring_solve(blocks, ring, b, diag_inv, None,
                                       float(rtol), restart, max_cycles,
-                                      coarse, stencil)
+                                      coarse, stencil, layout)
     diverged = rnorm > 1e4 * jnp.maximum(bnorm, jnp.finfo(rnorm.dtype).tiny)
     x = jnp.where(diverged, jnp.nan, x)
     return x

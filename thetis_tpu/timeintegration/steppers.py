@@ -156,7 +156,7 @@ class CrankNicolson(TimeIntegrator):
         if self.assembled_solve:
             from ..solvers.assembled import (
                 PackedState, assemble_affine_operator, ring_gmres,
-                ring_apply, get_coloring, get_stencil,
+                ring_apply, ring_apply_T, get_coloring, get_stencil,
             )
 
             ps = PackedState(u_old)
@@ -171,6 +171,11 @@ class CrankNicolson(TimeIntegrator):
                          "use_wetting_and_drying", False)
             analytic = (hasattr(eq, "assemble_operator_blocks")
                         and not (wd and linearization_state is not None))
+            # component-major blocks whenever a shift stencil exists: the
+            # cell-major (nc, ns, 9, 9) tensor is (8,128)-padded ~25x on
+            # TPU and assembly/solve never need it (PERF.md round 4)
+            lay = "T" if (analytic and stencil is not None) else "cell"
+            r0 = None
             if analytic:
                 # analytic value-space assembly (equations/swe_blocks.py):
                 # a small multiple of one residual evaluation, vs
@@ -181,14 +186,22 @@ class CrankNicolson(TimeIntegrator):
                     # linearization primal (no separate residual pass)
                     blocks, r_lag = eq.assemble_operator_blocks(
                         u_lag, fields, bnd_values, th * dt,
-                        return_residual=True)
+                        return_residual=True, layout=lay)
                     F_old = _tree_lc([(-dt, r_lag)])
                 else:
                     blocks = eq.assemble_operator_blocks(
-                        u_lag, fields, bnd_values, th * dt)
+                        u_lag, fields, bnd_values, th * dt, layout=lay)
                     F_old = F(u_old)
-                b = ring_apply(blocks, ring_j, x_old,
-                               stencil=stencil) - ps.pack(F_old)
+                f_old = ps.pack(F_old)
+                if lay == "T":
+                    # b is only needed for the convergence anchor ||b||;
+                    # the warm-start residual b - A x_old == -F_old is
+                    # passed in closed form (saves one block matvec)
+                    b = ring_apply_T(blocks, x_old, stencil) - f_old
+                    r0 = -f_old
+                else:
+                    b = ring_apply(blocks, ring_j, x_old,
+                                   stencil=stencil) - f_old
             else:
                 blocks, f0 = assemble_affine_operator(
                     lambda x: ps.pack(F(ps.unpack(x))), x_old, eq.mesh,
@@ -204,6 +217,8 @@ class CrankNicolson(TimeIntegrator):
                 coarse=self.coarse,
                 x0=x_old,  # warm start from the previous level
                 stencil=stencil,
+                layout=lay,
+                r0=r0,
             )
             return ps.unpack(x)
 
@@ -337,7 +352,7 @@ class DIRKUForm(TimeIntegrator):
             if self.assembled_solve:
                 from ..solvers.assembled import (
                     PackedState, assemble_affine_operator, ring_gmres,
-                    ring_apply, get_coloring, get_stencil,
+                    ring_apply, ring_apply_T, get_coloring, get_stencil,
                 )
 
                 ps = PackedState(u_i)
@@ -353,16 +368,24 @@ class DIRKUForm(TimeIntegrator):
                             and not getattr(
                                 getattr(eq, "depth", None),
                                 "use_wetting_and_drying", False))
+                lay = "T" if (analytic and stencil is not None) else "cell"
+                r0 = None
                 if analytic:
                     # stages with equal a_ii share the operator: cache
                     # the analytic blocks per diagonal coefficient
                     blocks = stage_blocks.get(aii)
                     if blocks is None:
                         blocks = eq.assemble_operator_blocks(
-                            solution, fields, bnd_values, dt * aii)
+                            solution, fields, bnd_values, dt * aii,
+                            layout=lay)
                         stage_blocks[aii] = blocks
-                    b = ring_apply(blocks, ring_j, x_i,
-                                   stencil=stencil) - ps.pack(F(u_i))
+                    f_i = ps.pack(F(u_i))
+                    if lay == "T":
+                        b = ring_apply_T(blocks, x_i, stencil) - f_i
+                        r0 = -f_i  # b - A x_i in closed form
+                    else:
+                        b = ring_apply(blocks, ring_j, x_i,
+                                       stencil=stencil) - f_i
                 else:
                     blocks, f0 = assemble_affine_operator(
                         lambda x: ps.pack(F(ps.unpack(x))), x_i, eq.mesh,
@@ -377,6 +400,8 @@ class DIRKUForm(TimeIntegrator):
                     coarse=self.coarse,
                     x0=x_i,  # warm start from the previous level
                     stencil=stencil,
+                    layout=lay,
+                    r0=r0,
                 ))
             else:
                 u_i = newton_solve(F, u_i, precond=eq.mass_inverse,
