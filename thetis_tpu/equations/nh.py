@@ -234,7 +234,7 @@ class FreeSurfaceEquation2D(EquationBase):
         self.depth = depth
         self.g = float(physical_constants["g_grav"])
         self.bathy_q = jnp.asarray(
-            asm.cell_values(bathymetry[mesh.cells])
+            asm.cg1_values(bathymetry[mesh.cells])
             if np.asarray(bathymetry).ndim == 1
             else jnp.broadcast_to(jnp.asarray(bathymetry),
                                   (mesh.nc, len(asm.space._tab_np["qw"])))

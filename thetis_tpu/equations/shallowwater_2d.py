@@ -167,7 +167,7 @@ class ShallowWaterEquations(EquationBase):
             return jnp.zeros((mesh.nc, nq) + tail + (2,))
         val = jnp.asarray(val)
         if val.shape[:1] == (mesh.nv,):
-            return asm.cell_grads(val[mesh.cells])
+            return asm.cg1_grads(val[mesh.cells])
         if val.shape[:2] == (mesh.nc, asm.ndofs):
             return asm.cell_grads(val)
         if val.shape[:2] == (mesh.nc, 1):

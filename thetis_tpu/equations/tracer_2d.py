@@ -298,7 +298,7 @@ class TracerEquation2D(EquationBase):
             return jnp.broadcast_to(jnp.asarray(val), (mesh.nc, nq))
         val = jnp.asarray(val)
         if val.shape[:1] == (mesh.nv,):
-            return asm.cell_values(val[mesh.cells])
+            return asm.cg1_values(val[mesh.cells])
         if val.shape[:2] == (mesh.nc, asm.ndofs):
             return asm.cell_values(val)
         if val.shape[:2] == (mesh.nc, 1):

@@ -40,7 +40,7 @@ def coefficient_cell_q(asm, val, vector=False):
         return jnp.broadcast_to(jnp.asarray(val), (mesh.nc, nq) + tail)
     val = jnp.asarray(val)
     if val.shape[:1] == (mesh.nv,):
-        return asm.cell_values(val[mesh.cells])
+        return asm.cg1_values(val[mesh.cells])
     if val.shape[:2] == (mesh.nc, asm.ndofs):
         return asm.cell_values(val)
     if val.shape[:2] == (mesh.nc, 1):  # P0
@@ -108,6 +108,13 @@ class DGAssembler:
             (gt_np * wlen_np[:, None, :, None, None]).reshape(
                 nfl * 2, -1, el.ndofs, 2)
         )
+        # CG1 coefficient tabulations at THIS space's quadrature points
+        # (identical to phi/dphi on a P1 space): CG1 vertex coefficients
+        # (bathymetry, Coriolis, ...) ride any-degree assemblers
+        from .reference_element import P1Tri
+
+        self.phi_cg1 = jnp.asarray(P1Tri.eval_basis(np.asarray(tab["qp"])))
+        self.dphi_cg1 = jnp.asarray(P1Tri.eval_grad(np.asarray(tab["qp"])))
 
     # -- cached device tables -------------------------------------------
     @property
@@ -140,6 +147,16 @@ class DGAssembler:
     def cell_grads(self, u):
         """(nc, nd[, k]) -> (nc, nq[, k], 2) physical gradients."""
         g = jnp.einsum("qdj,cd...->cq...j", self.space.dphi, u)
+        return jnp.einsum("cq...j,cji->cq...i", g, self.mesh.Jinv)
+
+    def cg1_values(self, u):
+        """CG1 cell-vertex data (nc, 3[, k]) -> (nc, nq[, k]) at this
+        space's quadrature points (any degree)."""
+        return jnp.einsum("qd,cd...->cq...", self.phi_cg1, u)
+
+    def cg1_grads(self, u):
+        """CG1 cell-vertex data (nc, 3[, k]) -> (nc, nq[, k], 2)."""
+        g = jnp.einsum("qdj,cd...->cq...j", self.dphi_cg1, u)
         return jnp.einsum("cq...j,cji->cq...i", g, self.mesh.Jinv)
 
     def _gather_sides(self, u):

@@ -115,17 +115,25 @@ class FunctionSpace:
         (+ trailing coordinate axis)."""
         mesh = self.mesh
         if self.is_dg:
-            # x = p0 + J @ xi for each nodal point
+            # x = p0 + J @ xi for each nodal point; edge vectors are
+            # period-unwrapped so seam cells of periodic meshes place
+            # their interior (e.g. P2 edge-midpoint) nodes at the true
+            # physical points (vertex nodes are unaffected: xi in {0,1})
             ref = self.element.dof_coords  # (nd, 2)
             p = mesh.coords_np[mesh.cells_np]  # (nc,3,2)
-            J = np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]], axis=2)
+            wrap = getattr(mesh, "_wrap_dx", lambda d: d)
+            J = np.stack([wrap(p[:, 1] - p[:, 0]),
+                          wrap(p[:, 2] - p[:, 0])], axis=2)
             x = p[:, 0][:, None, :] + np.einsum("cij,dj->cdi", J, ref)
             return jnp.asarray(x)  # (nc, nd, 2)
         if self.degree == 1:
             return jnp.asarray(mesh.coords_np)
-        # CG2: vertices then facet midpoints
+        # CG2: vertices then facet midpoints (facet edge vector unwrapped
+        # as above)
         fv = mesh.facet_verts_np
-        mids = 0.5 * (mesh.coords_np[fv[:, 0]] + mesh.coords_np[fv[:, 1]])
+        a = mesh.coords_np[fv[:, 0]]
+        wrap = getattr(mesh, "_wrap_dx", lambda d: d)
+        mids = a + 0.5 * wrap(mesh.coords_np[fv[:, 1]] - a)
         return jnp.asarray(np.concatenate([mesh.coords_np, mids], axis=0))
 
     def __eq__(self, other):

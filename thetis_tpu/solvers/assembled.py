@@ -254,10 +254,18 @@ class ShiftStencil:
 
     def apply_T(self, blocks_T, xT, corrB=None):
         """blocks_T (ns, do, di, nc), xT (di, nc) -> (do, nc)."""
-        y = jnp.einsum("ijc,jc->ic", blocks_T[0], xT)
-        for s, d, mask in self.terms:
-            xs = self._shift_T(xT, d) * mask[:, 0].astype(xT.dtype)[None, :]
-            y = y + jnp.einsum("ijc,jc->ic", blocks_T[s], xs)
+        from ..kernels.ringmv import ring_mv_pallas
+
+        # fused single-kernel path (TPU): all (slot, offset) terms in one
+        # Pallas launch, each block byte read once
+        y = (ring_mv_pallas(self, blocks_T, xT)
+             if blocks_T.shape[1] == blocks_T.shape[2] else None)
+        if y is None:
+            y = jnp.einsum("ijc,jc->ic", blocks_T[0], xT)
+            for s, d, mask in self.terms:
+                xs = self._shift_T(xT, d) * mask[:, 0].astype(
+                    xT.dtype)[None, :]
+                y = y + jnp.einsum("ijc,jc->ic", blocks_T[s], xs)
         if self.n_corr:
             xsrc = xT[:, self.corr_srcs]                 # (di, k)
             contrib = jnp.einsum("kij,jk->ik", corrB, xsrc)

@@ -170,6 +170,7 @@ class CrankNicolson(TimeIntegrator):
             wd = getattr(getattr(eq, "depth", None),
                          "use_wetting_and_drying", False)
             analytic = (hasattr(eq, "assemble_operator_blocks")
+                        and getattr(eq.asm, "ndofs", 3) == 3
                         and not (wd and linearization_state is not None))
             # component-major blocks whenever a shift stencil exists: the
             # cell-major (nc, ns, 9, 9) tensor is (8,128)-padded ~25x on
@@ -365,6 +366,7 @@ class DIRKUForm(TimeIntegrator):
                 # the analytic fast path linearizes at the step start, so
                 # only take it for the affine (non-W&D) case
                 analytic = (hasattr(eq, "assemble_operator_blocks")
+                            and getattr(eq.asm, "ndofs", 3) == 3
                             and not getattr(
                                 getattr(eq, "depth", None),
                                 "use_wetting_and_drying", False))
