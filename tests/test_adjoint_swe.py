@@ -61,7 +61,10 @@ def basic_setup(stepper):
     return solver_obj
 
 
-@pytest.mark.parametrize("stepper", ["CrankNicolson", "SteadyState"])
+@pytest.mark.parametrize("stepper", [
+    pytest.param("CrankNicolson", marks=pytest.mark.slow),
+    "SteadyState",
+])
 def test_gradient_from_adjoint(stepper):
     solver_obj = basic_setup(stepper)
     asm = solver_obj.asm

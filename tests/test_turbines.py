@@ -55,6 +55,7 @@ def farm_setup(density=0.01):
     return so
 
 
+@pytest.mark.slow
 def test_farm_drag_creates_head_difference():
     """Turbine drag must set up a water-level drop across the farm."""
     heads = []
@@ -100,6 +101,7 @@ def test_discrete_farm_density_integral():
     assert total == pytest.approx(3.0, rel=0.25)
 
 
+@pytest.mark.slow
 def test_farm_power_gradient():
     """Gradient of time-integrated farm power w.r.t. turbine density
     (the tidalfarm optimisation functional)."""
