@@ -104,12 +104,28 @@ class FlowSolver2d:
         fs.P1_2d = FunctionSpace(mesh, "CG", 1)
         fs.P1DG_2d = FunctionSpace(mesh, "DG", 1)
         if family in ("rt-dg", "bdm-dg"):
-            # lowest-order mimetic pairs RT1 x P0 / BDM1 x P0 (ref
-            # solver2d.py:329-336 uses U = RT/BDM(p+1), H = DG(p);
-            # implemented member: p = 0)
+            # H(div) pairs (ref solver2d.py:329-336 builds
+            # U = RT/BDM(p+1), H = DG(p)): p = 0 gives the mimetic
+            # RT1 x P0 / BDM1 x P0; p = 1 (the reference default) gives
+            # RT2 x P1DG (planar meshes, rt-dg)
+            if p == 1 and family == "rt-dg" and not manifold:
+                from ..fem.rt2 import RT2Space
+
+                # RT2 basis products are quartic: degree-5 quadrature
+                self.asm = DGAssembler(
+                    mesh, FunctionSpace(mesh, "DG", 1, quad_degree=5))
+                fs.U_2d = RT2Space(mesh, self.asm)
+                fs.H_2d = FunctionSpace(mesh, "DG", 1, quad_degree=5)
+                if self.options.tracer_element_family == "cg":
+                    fs.Q_2d = FunctionSpace(mesh, "CG", 1)
+                else:
+                    fs.Q_2d = FunctionSpace(mesh, "DG", 1)
+                self._functions_created = False
+                return
             assert p == 0, (
-                f"{family} implements the lowest-order H(div) x P0 pair: "
-                "set options.polynomial_degree = 0"
+                f"{family} implements the p = 0 (H(div) x P0) and, for "
+                "rt-dg on planar meshes, p = 1 (RT2 x P1DG) pairs: set "
+                "options.polynomial_degree accordingly"
             )
             if manifold:
                 # embedded manifolds (SphereMesh) have no global planar
@@ -288,11 +304,24 @@ class FlowSolver2d:
                 "rt-dg/bdm-dg currently support the plain shallow-water "
                 "system"
             )
-            self.eq_sw = ShallowWaterEquationsRTDG(
-                self.mesh2d, self.asm, self.function_spaces.U_2d, o,
-                bathymetry=bathy,
-                bnd_conditions=self.bnd_functions["shallow_water"],
-            )
+            from ..fem.rt2 import RT2Space
+
+            if isinstance(self.function_spaces.U_2d, RT2Space):
+                from ..equations.shallowwater_rt2 import (
+                    ShallowWaterEquationsRT2DG,
+                )
+
+                self.eq_sw = ShallowWaterEquationsRT2DG(
+                    self.mesh2d, self.asm, self.function_spaces.U_2d, o,
+                    bathymetry=bathy,
+                    bnd_conditions=self.bnd_functions["shallow_water"],
+                )
+            else:
+                self.eq_sw = ShallowWaterEquationsRTDG(
+                    self.mesh2d, self.asm, self.function_spaces.U_2d, o,
+                    bathymetry=bathy,
+                    bnd_conditions=self.bnd_functions["shallow_water"],
+                )
         else:
             self.eq_sw = ShallowWaterEquations(
                 self.mesh2d, self.asm, o, bathymetry=bathy,
