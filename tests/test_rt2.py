@@ -130,10 +130,38 @@ def test_rt2_beats_rt1():
     assert e2 < 0.35 * e1
 
 
-def test_rt2_facade():
-    """RT2 x P1DG through the FlowSolver2d facade
-    (element_family='rt-dg', polynomial_degree=1 — the reference's
-    default rt-dg configuration)."""
+def test_bdm2_exactness():
+    """BDM2 = full (P2)^2: quadratic fields interpolate exactly; the
+    H(div) normal trace is continuous; the mass solve round-trips."""
+    from thetis_tpu.fem.bdm2 import BDM2Space
+
+    mesh = RectangleMesh(7, 4, 3.0, 2.0)
+    V = FunctionSpace(mesh, "DG", 1, quad_degree=5)
+    asm = DGAssembler(mesh, V)
+    bd = BDM2Space(mesh, asm)
+    U = bd.project_vector(
+        lambda x, y: np.stack([x * x - 0.5 * y * y + x, x * y + y],
+                              axis=-1))
+    qp = np.asarray(V._tab_np["qp"])
+    verts = mesh.coords_np[mesh.cells_np]
+    lam = np.stack([1 - qp[:, 0] - qp[:, 1], qp[:, 0], qp[:, 1]], axis=1)
+    xy = np.einsum("qd,cdi->cqi", lam, verts)
+    exact = np.stack([xy[..., 0] ** 2 - 0.5 * xy[..., 1] ** 2 + xy[..., 0],
+                      xy[..., 0] * xy[..., 1] + xy[..., 1]], axis=-1)
+    assert np.abs(np.asarray(bd.cell_values(U)) - exact).max() < 1e-10
+    tr = np.asarray(bd.facet_traces(U))
+    n = np.asarray(mesh.facet_normal_np)[:, None, :]
+    mi = ~np.asarray(mesh.facet_is_boundary_np)
+    assert np.abs(((tr[:, 0] - tr[:, 1]) * n).sum(-1)[mi]).max() < 1e-10
+    U2 = bd.mass_inverse(bd.mass_apply(U))
+    assert float(jnp.abs(U2 - U).max() / jnp.abs(U).max()) < 1e-10
+
+
+@pytest.mark.parametrize("family", ["rt-dg", "bdm-dg"])
+def test_rt2_facade(family):
+    """RT2/BDM2 x P1DG through the FlowSolver2d facade
+    (polynomial_degree=1 — the reference's default H(div)
+    configuration)."""
     from thetis_tpu import Function, solver2d
 
     lx, ly = 5e3, 1e3
@@ -145,7 +173,7 @@ def test_rt2_facade():
     p1 = FunctionSpace(mesh2d, "CG", 1)
     s = solver2d.FlowSolver2d(mesh2d, Function(p1).assign(depth))
     o = s.options
-    o.element_family = "rt-dg"
+    o.element_family = family
     o.polynomial_degree = 1
     o.swe_timestepper_type = "CrankNicolson"
     o.timestep = period / 64

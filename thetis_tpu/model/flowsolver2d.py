@@ -108,13 +108,18 @@ class FlowSolver2d:
             # U = RT/BDM(p+1), H = DG(p)): p = 0 gives the mimetic
             # RT1 x P0 / BDM1 x P0; p = 1 (the reference default) gives
             # RT2 x P1DG (planar meshes, rt-dg)
-            if p == 1 and family == "rt-dg" and not manifold:
-                from ..fem.rt2 import RT2Space
-
-                # RT2 basis products are quartic: degree-5 quadrature
+            if p == 1 and not manifold:
+                # RT2/BDM2 basis products are quartic: degree-5 quadrature
                 self.asm = DGAssembler(
                     mesh, FunctionSpace(mesh, "DG", 1, quad_degree=5))
-                fs.U_2d = RT2Space(mesh, self.asm)
+                if family == "rt-dg":
+                    from ..fem.rt2 import RT2Space
+
+                    fs.U_2d = RT2Space(mesh, self.asm)
+                else:
+                    from ..fem.bdm2 import BDM2Space
+
+                    fs.U_2d = BDM2Space(mesh, self.asm)
                 fs.H_2d = FunctionSpace(mesh, "DG", 1, quad_degree=5)
                 if self.options.tracer_element_family == "cg":
                     fs.Q_2d = FunctionSpace(mesh, "CG", 1)
@@ -123,8 +128,8 @@ class FlowSolver2d:
                 self._functions_created = False
                 return
             assert p == 0, (
-                f"{family} implements the p = 0 (H(div) x P0) and, for "
-                "rt-dg on planar meshes, p = 1 (RT2 x P1DG) pairs: set "
+                f"{family} implements p = 0 (H(div) x P0) and, on planar "
+                "meshes, p = 1 (RT2/BDM2 x P1DG): set "
                 "options.polynomial_degree accordingly"
             )
             if manifold:
@@ -305,8 +310,9 @@ class FlowSolver2d:
                 "system"
             )
             from ..fem.rt2 import RT2Space
+            from ..fem.bdm2 import BDM2Space
 
-            if isinstance(self.function_spaces.U_2d, RT2Space):
+            if isinstance(self.function_spaces.U_2d, (RT2Space, BDM2Space)):
                 from ..equations.shallowwater_rt2 import (
                     ShallowWaterEquationsRT2DG,
                 )
