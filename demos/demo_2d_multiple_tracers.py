@@ -7,7 +7,6 @@
 # mode with SSPRK33.
 import os
 
-import numpy as np
 import jax.numpy as jnp
 
 from thetis_tpu import *

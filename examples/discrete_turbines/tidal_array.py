@@ -8,11 +8,9 @@
 # flow ramps up to steady in a channel and the farm power is integrated
 # by TurbineFunctionalCallback.  (The headland geometry is replaced by a
 # straight channel — the turbine physics is identical.)
-import math
 import os
 
 import numpy as np
-import jax.numpy as jnp
 
 from thetis_tpu import *
 from thetis_tpu.model.turbines import (

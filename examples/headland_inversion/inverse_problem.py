@@ -18,7 +18,6 @@
 # this convex shoreline the Euclidean point distance is the same field,
 # so it is computed directly from the coast vertices (cKDTree).
 import os
-import sys
 
 import numpy as np
 import jax

@@ -9,7 +9,6 @@
 # station time series.  Tidal forcing: TPXO data is not shipped (the
 # reference's CI substitutes a dummy field too, ``model_config.py:155``);
 # we force the open boundary with a ramped M2+S2 synthetic tide.
-import math
 import os
 
 import numpy as np

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import sympy as sp
 from scipy import stats
 
-from thetis_tpu import Function, FunctionSpace, physical_constants
+from thetis_tpu import physical_constants
 from thetis_tpu.mesh.generation import PeriodicRectangleMesh
 from thetis_tpu.model.flowsolver3d import FlowSolver
 

@@ -2,7 +2,6 @@
 state, load into a fresh solver with load_state, continue, and compare with
 an uninterrupted run."""
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from thetis_tpu import RectangleMesh, FunctionSpace, Function, solver2d, exp

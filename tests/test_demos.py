@@ -8,7 +8,6 @@ pytestmark = _pytest.mark.slow
 import runpy
 
 import numpy as np
-import pytest
 
 
 def test_demo_2d_tracer(monkeypatch):

@@ -5,7 +5,6 @@ import importlib.util
 import os
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 

@@ -15,10 +15,9 @@ import math
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 from scipy import stats
 
-from thetis_tpu import RectangleMesh, FunctionSpace, Function
+from thetis_tpu import RectangleMesh, FunctionSpace
 from thetis_tpu.fem.assembly import DGAssembler
 from thetis_tpu.fem.assembly3d import Assembler3D
 from thetis_tpu.mesh.extruded import ExtrudedMesh

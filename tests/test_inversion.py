@@ -14,8 +14,11 @@ import jax.numpy as jnp
 import pytest
 
 from thetis_tpu import (
-    RectangleMesh, FunctionSpace, Function, Constant, solver2d,
-    SpatialCoordinate,
+    RectangleMesh,
+    FunctionSpace,
+    Function,
+    Constant,
+    solver2d,
 )
 from thetis_tpu.adjoint.inversion_tools import (
     StationObservationManager,

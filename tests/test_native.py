@@ -1,6 +1,5 @@
 """Native (C++) mesh graph builder: equivalence with the numpy fallback.
 Skipped when no C++ toolchain is available."""
-import os
 
 import numpy as np
 import pytest

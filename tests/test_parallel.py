@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from thetis_tpu import RectangleMesh, FunctionSpace, Function, DGAssembler
+from thetis_tpu import RectangleMesh, FunctionSpace, DGAssembler
 from thetis_tpu.equations.tracer_2d import TracerEquation2D
 from thetis_tpu.parallel.partition import StripePartition
 from thetis_tpu.parallel.shard import (

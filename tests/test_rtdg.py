@@ -6,7 +6,6 @@ import math
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from thetis_tpu import RectangleMesh, FunctionSpace, physical_constants
 from thetis_tpu.fem.assembly import DGAssembler

@@ -4,7 +4,6 @@ uniform channel flow, and Exner bed evolution with bedload over a bump
 ``test/sediment/test_migrating_trench.py`` family)."""
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from thetis_tpu import (
     RectangleMesh, FunctionSpace, Function, Constant, solver2d,

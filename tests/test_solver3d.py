@@ -8,7 +8,6 @@
 - lock exchange: a density front collapses in the right direction with
   bounded energy
 """
-from types import SimpleNamespace
 
 import numpy as np
 import jax.numpy as jnp

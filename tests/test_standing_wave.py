@@ -9,8 +9,11 @@ import numpy as np
 import pytest
 
 from thetis_tpu import (
-    RectangleMesh, FunctionSpace, Function, solver2d, SpatialCoordinate,
-    cos, pi, physical_constants,
+    RectangleMesh,
+    FunctionSpace,
+    Function,
+    solver2d,
+    physical_constants,
 )
 
 

@@ -16,7 +16,10 @@ import sympy as sp
 from scipy import stats
 
 from thetis_tpu import (
-    RectangleMesh, FunctionSpace, Function, Constant, solver2d,
+    RectangleMesh,
+    FunctionSpace,
+    Function,
+    solver2d,
     physical_constants,
 )
 

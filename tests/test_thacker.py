@@ -5,7 +5,11 @@ import numpy as np
 import pytest
 
 from thetis_tpu import (
-    SquareMesh, FunctionSpace, Function, solver2d, SpatialCoordinate, sqrt,
+    SquareMesh,
+    FunctionSpace,
+    Function,
+    solver2d,
+    SpatialCoordinate,
 )
 import jax.numpy as jnp
 

@@ -4,7 +4,6 @@ with tracer_element_family='cg', and SUPG keeping a sharp front bounded."""
 import math
 
 import numpy as np
-import pytest
 
 from thetis_tpu import RectangleMesh, FunctionSpace, Function, solver2d
 

@@ -12,7 +12,6 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from scipy import stats
 
 from thetis_tpu import RectangleMesh, FunctionSpace, Function, DGAssembler

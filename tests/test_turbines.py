@@ -13,7 +13,6 @@ from thetis_tpu import (
 )
 from thetis_tpu.model.turbines import (
     TidalTurbineFarmOptions,
-    DiscreteTidalTurbineFarmOptions,
     TidalTurbineOptions,
     TurbineFunctionalCallback,
     turbine_density_from_coordinates,

@@ -11,7 +11,6 @@ from thetis_tpu.equations.stability_functions import (
     StabilityFunctionCheng,
 )
 from thetis_tpu.equations.turbulence import (
-    GLSModelOptions,
     GenericLengthScaleModel,
     PacanowskiPhilanderModel,
 )

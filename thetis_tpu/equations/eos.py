@@ -12,7 +12,6 @@ path, ref L213-280).
 """
 import jax.numpy as jnp
 
-from ..config import physical_constants
 
 __all__ = ["JackettEquationOfState", "LinearEquationOfState"]
 

@@ -17,7 +17,6 @@ Terms (ref L130-569):
                              see ``vertical_viscosity_implicit``)
   SourceTerm               — incl. surface wind stress flux
 """
-import numpy as np
 import jax.numpy as jnp
 
 from .base import Bucket, EquationBase

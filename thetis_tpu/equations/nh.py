@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import physical_constants
-from .base import EquationBase, Bucket, facet_quad_value
+from .base import EquationBase, facet_quad_value
 
 __all__ = ["DepthIntegratedPoissonSolver", "FreeSurfaceEquation2D"]
 

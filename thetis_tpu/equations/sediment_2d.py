@@ -17,7 +17,6 @@ solver layer.
 import jax.numpy as jnp
 
 from .tracer_2d import TracerEquation2D
-from .base import facet_quad_value
 
 __all__ = ["SedimentEquation2D"]
 

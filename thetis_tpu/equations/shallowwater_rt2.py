@@ -23,7 +23,6 @@ Solution pytree: ``{'uv': (2 nf + 2 nc,), 'elev': (nc, 3)}``.
 The paired :class:`~thetis_tpu.fem.assembly.DGAssembler` must use
 ``quad_degree >= 4`` (see :class:`~thetis_tpu.fem.rt2.RT2Space`).
 """
-import numpy as np
 import jax.numpy as jnp
 
 from ..config import physical_constants

@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import physical_constants
-from .base import EquationBase, SUPPORTED_LABELS
+from .base import EquationBase
 
 __all__ = ["ShallowWaterEquationsRTDG"]
 

@@ -14,7 +14,6 @@ L380-411):
 Solution layout: ``(nc, 3, nz, 2)``; velocity fields uv_3d
 ``(nc, 3, nz, 2, 2)``, w ``(nc, 3, nz, 2)``.
 """
-import numpy as np
 import jax.numpy as jnp
 
 from .base import Bucket, EquationBase

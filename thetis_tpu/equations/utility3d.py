@@ -17,7 +17,6 @@ column-local extruded arrays:
   SmagorinskyViscosity    (ref L879-997)
   ALE mesh update         (ref L711-876) -> ``ExtrudedMesh.z_interfaces``
 """
-import numpy as np
 import jax.numpy as jnp
 
 from ..config import physical_constants

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..config import physical_constants
 from ..fem.assembly import DGAssembler
 from ..fem.functionspace import FunctionSpace, Function
-from ..equations.shallowwater_2d import ShallowWaterEquations, swe_state
+from ..equations.shallowwater_2d import ShallowWaterEquations
 from ..equations.tracer_2d import TracerEquation2D
 from ..equations.limiter import VertexBasedP1DGLimiter
 from ..timeintegration.steppers import get_stepper

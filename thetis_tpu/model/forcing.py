@@ -17,7 +17,6 @@ Re-implementation of ``thetis/forcing.py`` (SURVEY.md section 2.7):
 import numpy as np
 
 from ..config import physical_constants
-from ..utils.log import print_output
 
 __all__ = [
     "compute_wind_stress",

@@ -12,7 +12,6 @@ scatter-free formulation on device-local tables.  Scalar reductions
 tracer advection); it is validated bit-for-bit against the serial operator
 in ``tests/test_parallel.py``.
 """
-from functools import partial
 
 import numpy as np
 import jax

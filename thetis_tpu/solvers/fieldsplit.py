@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .assembled import (
-    ring_apply, batched_inv_small, aggregate_cells, _ring_transpose,
+    ring_apply, aggregate_cells, _ring_transpose,
     get_stencil,
 )
 

@@ -17,7 +17,6 @@ availability (netCDF4 is not in this image; HDF5-based and callable
 sources are supported).
 """
 import glob
-import os
 
 import numpy as np
 

@@ -12,7 +12,6 @@ plus the reference's CF-attribute variable lookup, time-axis parsing
 time-series interpolation (``NetCDFTimeSeriesInterpolator``).
 """
 import datetime
-import glob
 import re
 
 import numpy as np
