@@ -52,7 +52,7 @@ def intpg_x_fn(x, z):
     return g * 1.0e-2 * K * np.cos(K * x) * (z**2) / (2 * rho0)
 
 
-def run(refinement):
+def run(refinement, quadratic=False):
     nx, nz = 8 * refinement, 4 * refinement
     mesh = RectangleMesh(nx, 2, LX, LY)
     V = FunctionSpace(mesh, "DG", 1)
@@ -71,11 +71,24 @@ def run(refinement):
     z_nodes = np.stack(
         [np.asarray(z_if)[:, :, :-1], np.asarray(z_if)[:, :, 1:]], axis=-1
     )
-    rho = jnp.asarray(rho_fn(x_dof[:, :, None, None], z_nodes))
-
     bhc = BaroclinicHeadCalculator(a3)
-    r = bhc.compute_head(rho, geom)
+    if quadratic:
+        # analytic density sampled at ALL P2DGxP2 nodes (6 horizontal
+        # columns x 3 s-nodes) — the quadratic-density pipeline
+        # (``DensitySolver.solve_p2(horizontal=True)``) provides exactly
+        # these pointwise values in the model
+        x6 = np.asarray(bhc._to_p2_nodes(jnp.asarray(x_dof)))  # (nc, 6)
+        z6_if = np.asarray(bhc._to_p2_nodes(z_if))             # (nc,6,nz+1)
+        zb, zt = z6_if[:, :, :-1], z6_if[:, :, 1:]
+        z3 = np.stack([zb, 0.5 * (zb + zt), zt], axis=-1)      # (nc,6,nz,3)
+        rho = jnp.asarray(rho_fn(x6[:, :, None, None], z3))
+    else:
+        rho = jnp.asarray(rho_fn(x_dof[:, :, None, None], z_nodes))
+    r = bhc.compute_head(rho, geom, quadratic=quadratic)
     int_pg = bhc.compute_int_pg(r, geom)
+    if quadratic:
+        # vertex-column (bottom, top) values for the error norm
+        r = r[:, :3, :, ::2]
 
     r_exact = head_fn(x_dof[:, :, None, None], z_nodes)
     pg_exact = intpg_x_fn(x_dof[:, :, None, None], z_nodes)
@@ -108,3 +121,26 @@ def test_int_pg_mes():
     # relative accuracy at the tested finest level (order-1 decay:
     # measured 0.42 / 0.21 / 0.106 across the ladder)
     assert out[-1][1] / out[-1][2] < 0.15
+
+
+def test_int_pg_quadratic_pressure():
+    """``use_quadratic_pressure`` ladder (ref ``solver.py:454``,
+    ``options.py:1135-1145``): carrying the head in the quadratic
+    vertical space restores second-order int-PG convergence where the P1
+    head is stuck at first order (its in-layer head structure is linear
+    while the true head is quadratic in z)."""
+    refs = [1, 2, 4]
+    out_p1 = [run(r) for r in refs]
+    out_p2 = [run(r, quadratic=True) for r in refs]
+    x_log = np.log10(1.0 / np.asarray(refs, dtype=float))
+    sl_p2 = stats.linregress(x_log, np.log10([o[1] for o in out_p2])).slope
+    print(f"quadratic int_pg slope {sl_p2:.2f}; "
+          f"errors P1 {[f'{o[1]:.2e}' for o in out_p1]} "
+          f"P2 {[f'{o[1]:.2e}' for o in out_p2]}")
+    # nodal head values remain exact
+    for err_r, _, scale in out_p2:
+        assert err_r < 1e-12 * max(scale, 1.0), err_r
+    # second-order convergence and a large accuracy gain at every level
+    assert sl_p2 > 2.0 * (1 - 0.2), sl_p2
+    for p1, p2 in zip(out_p1, out_p2):
+        assert p2[1] < 0.35 * p1[1], (p1[1], p2[1])

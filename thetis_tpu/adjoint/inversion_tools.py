@@ -217,14 +217,19 @@ class InversionManager:
         self.control_mappings = getattr(self, "control_mappings", [])
         self.control_mappings.append(mapping)
 
-    def get_cost_function(self, n_steps):
+    def get_cost_function(self, n_steps, checkpoint=None):
         """Builds J(controls) = sum_t sum_s (model-obs)^2 dt + sum reg
-        (ref L384-470)."""
+        (ref L384-470).  ``checkpoint`` selects adjoint memory
+        checkpointing (see ``FlowSolver2d.differentiable_forward``; the
+        default auto-enables sqrt-N remat beyond 128 steps, the
+        pyadjoint-tape-checkpointing analogue of ref
+        ``solver2d.py:987-989``)."""
         so = self.solver_obj
         dt = so.dt or so.options.timestep
         step_f = self.sta_manager.misfit_step_functional(dt, n_steps)
         fwd = so.differentiable_forward(
-            self.control_names, step_functional=step_f, n_steps=n_steps
+            self.control_names, step_functional=step_f, n_steps=n_steps,
+            checkpoint=checkpoint,
         )
         regs = self.regularizations
         maps = getattr(self, "control_mappings",
@@ -241,7 +246,7 @@ class InversionManager:
 
         return J
 
-    def get_reduced_functional(self, n_steps):
+    def get_reduced_functional(self, n_steps, checkpoint=None):
         def cb(j, grads, values):
             self.progress["J"].append(j)
             self.progress["controls"].append(
@@ -250,8 +255,8 @@ class InversionManager:
             print_output(f"Inversion: J = {j:.6e}")
 
         self.rf = ReducedFunctional(
-            self.get_cost_function(n_steps), self.controls,
-            derivative_cb_post=cb,
+            self.get_cost_function(n_steps, checkpoint=checkpoint),
+            self.controls, derivative_cb_post=cb,
         )
         return self.rf
 

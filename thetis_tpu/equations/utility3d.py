@@ -96,6 +96,42 @@ class DensitySolver:
         """density anomaly rho' = rho(S,T,p) - rho0."""
         return self.eos.compute_rho(salt, temp, pressure, self.rho0)
 
+    def solve_p2(self, salt, temp, pressure=0.0, horizontal=False):
+        """Density anomaly on the QUADRATIC vertical space
+        (``use_quadratic_density``, ref ``solver.py:519``,
+        ``options.py:1135-1156``): the EOS is evaluated pointwise at the
+        layer bottom/mid/top with T/S linearly interpolated to the mid
+        node — for a nonlinear EOS (Jackett) the mid-node density
+        differs from the mean of the node densities, which is exactly
+        the curvature the quadratic space captures.
+
+        :kwarg horizontal: also evaluate the EOS at the 3 horizontal
+            edge-midpoint columns (T/S linearly interpolated there) —
+            the full P2DGxP2 density of ref ``solver.py:519``
+        :returns: (nc, 3 or 6, nz, 3) with vertical nodes (s=0, 1/2, 1).
+        """
+        if horizontal:
+            from .utility3d import BaroclinicHeadCalculator as _B
+            salt = _B._to_p2_nodes(salt)
+            temp = _B._to_p2_nodes(temp)
+            if hasattr(pressure, "ndim") and getattr(
+                    pressure, "ndim", 0) >= 4:
+                pressure = _B._to_p2_nodes(pressure)
+
+        def mid(u):
+            return 0.5 * (u[..., 0] + u[..., 1])
+
+        p_b, p_t, p_m = pressure, pressure, pressure
+        if hasattr(pressure, "ndim") and getattr(pressure, "ndim", 0) >= 4:
+            p_b, p_t, p_m = (pressure[..., 0], pressure[..., 1],
+                             mid(pressure))
+        rho_b = self.eos.compute_rho(
+            salt[..., 0], temp[..., 0], p_b, self.rho0)
+        rho_t = self.eos.compute_rho(
+            salt[..., 1], temp[..., 1], p_t, self.rho0)
+        rho_m = self.eos.compute_rho(mid(salt), mid(temp), p_m, self.rho0)
+        return jnp.stack([rho_b, rho_m, rho_t], axis=-1)
+
 
 class DensitySolverWeak:
     """Weak (L2-projected) EOS evaluation: the analytical density
@@ -144,23 +180,103 @@ class VelocityMagnitudeSolver:
 class BaroclinicHeadCalculator:
     r"""Baroclinic head r = -1/rho0 int_z^eta rho' dz and the internal
     pressure gradient int_pg = g grad_h(r)
-    (ref ``utility.py:478-492``, ``momentum_eq.py:612-699``)."""
+    (ref ``utility.py:478-492``, ``momentum_eq.py:612-699``).
+
+    With ``quadratic=True`` the head is carried on the 3-node (P2)
+    vertical space (``use_quadratic_pressure``, ref ``solver.py:454``,
+    ``options.py:1135-1156``): the vertical integral of a layer-linear
+    density is *quadratic* in z, so the P1 head loses one order in the
+    in-layer structure of grad_h(r) — the dominant discretization error
+    of baroclinic runs.  The quadratic head stores the exact in-layer
+    antiderivative (closed-form `\int_s^1 \psi_p`, no extra quadrature)
+    and the int-PG evaluation differentiates the quadratic
+    representation; for layer-linear density the projected int-PG is
+    then exact up to the horizontal discretization.
+    """
 
     def __init__(self, asm3d):
         self.asm3d = asm3d
         self.rho0 = physical_constants["rho0"]
         self.g = physical_constants["g_grav"]
 
-    def compute_head(self, rho_prime, geom):
-        """(nc, 3, nz, 2) density anomaly -> baroclinic head at dofs."""
-        return -(1.0 / self.rho0) * self.asm3d.cumulative_integral(
-            rho_prime, geom, from_top=True
-        )
+    @staticmethod
+    def _to_p2_nodes(u):
+        """P1DG horizontal nodal data (nc, 3, ...) -> P2DG nodes
+        (nc, 6, ...): vertices then edge midpoints (m12, m02, m01),
+        matching ``Assembler3D._phi2d_h``.  Linear interpolation — exact
+        for the P1 fields (density traces, z interfaces) it is fed."""
+        mids = jnp.stack([
+            0.5 * (u[:, 1] + u[:, 2]),
+            0.5 * (u[:, 0] + u[:, 2]),
+            0.5 * (u[:, 0] + u[:, 1]),
+        ], axis=1)
+        return jnp.concatenate([u, mids], axis=1)
+
+    def compute_head(self, rho_prime, geom, quadratic=False):
+        """Density anomaly -> baroclinic head at dofs.
+
+        :arg rho_prime: (nc, 3, nz, 2) P1 or (nc, 3, nz, 3) P2 vertical
+        :kwarg quadratic: return the P2DGxP2 head (nc, 6, nz, 3) —
+            density interpolated to the 6 horizontal nodes, exact
+            in-layer vertical antiderivative at 3 s-nodes (ref
+            ``solver.py:454``: P2DGxP2 head space)
+        """
+        if quadratic:
+            if rho_prime.shape[1] == 3:
+                rho_prime = self._to_p2_nodes(rho_prime)
+            z_if6 = self._to_p2_nodes(geom["z_if"])
+            Delta = z_if6[..., 1:] - z_if6[..., :-1]   # (nc, 6, nz)
+        else:
+            Delta = geom["Delta_nodes"]                # (nc, 3, nz)
+        p2_in = rho_prime.shape[3] == 3
+        if p2_in:
+            rb, rm, rt = (rho_prime[..., 0], rho_prime[..., 1],
+                          rho_prime[..., 2])
+            # Simpson: exact for the quadratic in-layer density
+            layer_int = Delta * (rb + 4.0 * rm + rt) / 6.0
+        else:
+            rb, rt = rho_prime[..., 0], rho_prime[..., 1]
+            rm = 0.5 * (rb + rt)
+            layer_int = Delta * 0.5 * (rb + rt)
+        # integral from the free surface down to the top of each layer
+        csum = jnp.flip(jnp.cumsum(jnp.flip(layer_int, axis=2), axis=2),
+                        axis=2)
+        above = csum - layer_int           # (nc, nh, nz)
+        scale = -1.0 / self.rho0
+        if not quadratic:
+            at_top = scale * above
+            at_bot = scale * csum
+            return jnp.stack([at_bot, at_top], axis=3)
+        # in-layer antiderivative I(s) = int_s^1 rho(sigma) dsigma on the
+        # quadratic (Lagrange {0,1/2,1}) density: closed-form basis
+        # integrals int_s^1 psi_p at s = 0, 1/2:
+        #   s=0:   (1/6, 2/3, 1/6)     (Simpson)
+        #   s=1/2: (-1/24, 1/3, 5/24)
+        # (for P1 density, rm = mean and these reduce to the trapezoid
+        # tails (1/2, 1/2) and (1/8, 3/8))
+        if p2_in:
+            tail_mid = Delta * (-rb / 24.0 + rm / 3.0 + 5.0 * rt / 24.0)
+        else:
+            tail_mid = Delta * (rb / 8.0 + 3.0 * rt / 8.0)
+        r_top = scale * above
+        r_mid = scale * (above + tail_mid)
+        r_bot = scale * csum
+        return jnp.stack([r_bot, r_mid, r_top], axis=3)
 
     def compute_int_pg(self, baroc_head, geom):
-        """int_pg = g grad_h(r) projected to dofs: (nc, 3, nz, 2, 2)."""
+        """int_pg = g grad_h(r) projected to dofs: (nc, 3, nz, 2, 2).
+
+        Accepts the P1 (2-node) or quadratic (3-node) head; the
+        quadratic path differentiates the P2 vertical representation at
+        the same quadrature points (degree-3 Gauss integrates the cubic
+        head-x-test integrand exactly)."""
         asm3d = self.asm3d
-        gr = asm3d.cell_grads(baroc_head, geom)[..., 0:2]  # horizontal part
+        vtabs = ((asm3d._psi2_h, asm3d._dpsi2_h)
+                 if baroc_head.shape[3] == 3 else None)
+        htabs = ((asm3d._phi2d_h, asm3d._dphi2d_h)
+                 if baroc_head.shape[1] == 6 else None)
+        gr = asm3d.cell_grads(baroc_head, geom, vtabs=vtabs,
+                              htabs=htabs)[..., 0:2]
         return asm3d.mass_inverse(
             asm3d.cell_to_dofs(self.g * gr, geom), geom
         )

@@ -56,6 +56,32 @@ class Assembler3D:
         self._psi_h = np.stack([1 - t, t], axis=1)         # (nqv, 2)
         self._dpsi_h = np.array([[-1.0, 1.0]] * len(t))    # (nqv, 2)
         self._wv_h = wv
+        # quadratic vertical Lagrange basis at nodes {0, 1/2, 1} (the
+        # ``use_quadratic_pressure`` head space, ref ``solver.py:454``,
+        # ``options.py:1135-1156``): evaluated at the SAME 2-point Gauss
+        # rule — the int-PG projection integrand (quadratic head x P1
+        # test) is cubic in s, which degree-3 Gauss integrates exactly
+        self._psi2_h = np.stack(
+            [2 * (t - 0.5) * (t - 1.0), 4 * t * (1 - t),
+             2 * t * (t - 0.5)], axis=1)                   # (nqv, 3)
+        self._dpsi2_h = np.stack(
+            [4 * t - 3.0, 4.0 - 8 * t, 4 * t - 1.0], axis=1)  # (nqv, 3)
+        # P2 horizontal Lagrange tabs at the SAME 2D quadrature points,
+        # derived from the P1 tabs (P1 phi rows ARE the barycentric
+        # coordinates lambda of the quad points, and P1 dphi their
+        # constant reference gradients).  Node order: 3 vertices then
+        # edge midpoints opposite vertex 0, 1, 2 (m12, m02, m01).
+        lam = self._phi_h                                  # (nq, 3)
+        dlam = self._dphi_h                                # (nq, 3, 2)
+        phi2 = [lam[:, i] * (2 * lam[:, i] - 1) for i in range(3)]
+        dphi2 = [dlam[:, i] * (4 * lam[:, i] - 1)[:, None]
+                 for i in range(3)]
+        for (j, k) in ((1, 2), (0, 2), (0, 1)):
+            phi2.append(4 * lam[:, j] * lam[:, k])
+            dphi2.append(4 * (lam[:, j, None] * dlam[:, k]
+                              + lam[:, k, None] * dlam[:, j]))
+        self._phi2d_h = np.stack(phi2, axis=1)             # (nq, 6)
+        self._dphi2d_h = np.stack(dphi2, axis=1)           # (nq, 6, 2)
 
     # -- unrolled contraction helpers ---------------------------------
     @staticmethod
@@ -143,12 +169,23 @@ class Assembler3D:
         """(nc, 3, nz, 2[, k]) -> (nc, nz, nq, nqv[, k])."""
         return self._eval_qv(u, self._phi_h, self._psi_h)
 
-    def cell_grads(self, u, geom):
+    def cell_grads(self, u, geom, vtabs=None, htabs=None):
         """Full physical gradient: (..., 3) with components (d/dx, d/dy,
-        d/dz)."""
+        d/dz).  ``vtabs=(psi, dpsi)`` selects the vertical basis —
+        default P1 (2 nodes); pass ``(self._psi2_h, self._dpsi2_h)`` for
+        the quadratic (3-node) head space.  ``htabs=(phi, dphi)``
+        likewise selects the horizontal basis (default P1DG; pass
+        ``(self._phi2d_h, self._dphi2d_h)`` for the P2DG head space —
+        ref ``solver.py:454`` builds P2DGxP2 for the baroclinic head)."""
         # reference-horizontal derivative at fixed s: per (q, v) slab
         # sums over host-scalar tabs; Jinv enters as (nc,) slab factors
         nq, nqv = self.nq, len(self.qv_np)
+        psi_v, dpsi_v = vtabs if vtabs is not None else (
+            self._psi_h, self._dpsi_h)
+        phi_h, dphi_h = htabs if htabs is not None else (
+            self._phi_h, self._dphi_h)
+        npp = psi_v.shape[1]
+        nh = phi_h.shape[1]
         Jinv = self.mesh.Jinv                       # (nc, 2, 2)
         extra = u.ndim - 4
         rows = []
@@ -158,19 +195,19 @@ class Assembler3D:
                 dref = []
                 for j in range(2):
                     acc = None
-                    for d in range(3):
-                        for pp in range(2):
-                            w = float(self._dphi_h[q, d, j]
-                                      * self._psi_h[v, pp])
+                    for d in range(nh):
+                        for pp in range(npp):
+                            w = float(dphi_h[q, d, j]
+                                      * psi_v[v, pp])
                             if w == 0.0:
                                 continue
                             term = w * u[:, d, :, pp]
                             acc = term if acc is None else acc + term
                     dref.append(acc)
                 dds = None
-                for d in range(3):
-                    for pp in range(2):
-                        w = float(self._phi_h[q, d] * self._dpsi_h[v, pp])
+                for d in range(nh):
+                    for pp in range(npp):
+                        w = float(phi_h[q, d] * dpsi_v[v, pp])
                         if w == 0.0:
                             continue
                         term = w * u[:, d, :, pp]

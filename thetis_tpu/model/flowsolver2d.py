@@ -921,7 +921,8 @@ class FlowSolver2d:
 
     # ------------------------------------------------------------------
     def differentiable_forward(self, controls, terminal_functional=None,
-                               step_functional=None, n_steps=None):
+                               step_functional=None, n_steps=None,
+                               checkpoint=None):
         """Build a pure, differentiable forward model ``fn(*control_arrays)
         -> scalar J`` for use with :mod:`thetis_tpu.adjoint` (the analogue
         of a pyadjoint-taped ``iterate`` run, SURVEY.md section 3.5).
@@ -935,6 +936,14 @@ class FlowSolver2d:
             final state pytree
         :arg step_functional: callable ``f(state, fields, t) -> scalar``
             accumulated as ``sum_i f(...) * dt``
+        :kwarg checkpoint: adjoint memory checkpointing (the analogue of
+            the reference's pyadjoint tape checkpointing, ref
+            ``solver2d.py:987-989``).  ``False`` stores every step's
+            activations (cheapest gradients, O(n) memory); ``True`` or an
+            int chunk size runs the sqrt-N remat schedule
+            (:func:`~thetis_tpu.adjoint.checkpointing.checkpointed_scan`,
+            one extra forward per backward at O(sqrt n) memory).  The
+            default ``None`` enables it for runs longer than 128 steps.
         """
         if not self._initialized:
             self.initialize()
@@ -978,17 +987,24 @@ class FlowSolver2d:
                 else:
                     fields[name_map[name]] = v
 
-            def body(carry, _):
+            def body(carry):
                 s, t, acc = carry
                 s = advance(t, s, fields, tracer_extra, bnd_sw, bnd_tr)
                 if step_functional is not None:
                     acc = acc + step_functional(s, fields, t) * dt
-                return (s, t + dt, acc), None
+                return (s, t + dt, acc)
 
-            (s, _, acc), _ = jax.lax.scan(
-                body, (st, 0.0, jnp.asarray(0.0, dtype=st["elev"].dtype)),
-                None, length=n,
-            )
+            carry0 = (st, 0.0, jnp.asarray(0.0, dtype=st["elev"].dtype))
+            use_ckpt = checkpoint if checkpoint is not None else (n > 128)
+            if use_ckpt:
+                from ..adjoint.checkpointing import checkpointed_scan
+                chunk = checkpoint if isinstance(checkpoint, int) and \
+                    not isinstance(checkpoint, bool) else None
+                s, _, acc = checkpointed_scan(body, carry0, n, chunk=chunk)
+            else:
+                (s, _, acc), _ = jax.lax.scan(
+                    lambda c, _: (body(c), None), carry0, None, length=n,
+                )
             J = acc
             if terminal_functional is not None:
                 J = J + terminal_functional(s)

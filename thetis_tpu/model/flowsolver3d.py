@@ -82,6 +82,14 @@ class ModelOptions3d(ModelOptions2d):
             use_baroclinic_formulation=True,
             timestepper_type="CrankNicolson",  # or 'SSPRK22' (2-stage ALE)
             equation_of_state_type="linear",
+            # quadratic (P2 vertical) baroclinic-head / density spaces
+            # (ref ``solver.py:454,519``, ``options.py:1135-1156``;
+            # reference defaults False, realistic examples enable them)
+            use_quadratic_pressure=False,
+            use_quadratic_density=False,
+            # scalar multiplier on the internal pressure gradient (ref
+            # ``options.py`` ``internal_pg_scalar``; None = 1)
+            internal_pg_scalar=None,
             constant_temperature=10.0,
             constant_salinity=35.0,
             vertical_viscosity=1e-4,
@@ -548,12 +556,27 @@ class FlowSolver:
             z = ext.z_interfaces(bathy_cell, elev)
             return asm3d.layer_geometry(z)
 
+        quad_p = bool(getattr(o, "use_quadratic_pressure", False))
+        quad_rho = bool(getattr(o, "use_quadratic_density", False))
+        ipg_scale = getattr(o, "internal_pg_scalar", None)
+
         def baroclinicity(state, geom):
             """density -> baroclinic head -> int_pg
-            (ref ``coupled_timeintegrator.py:60-66``)."""
-            rho = density_solver.solve(state["salt_3d"], state["temp_3d"])
-            r_head = bhc.compute_head(rho, geom)
+            (ref ``coupled_timeintegrator.py:60-66``; quadratic
+            pressure/density per ref ``solver.py:454,519``)."""
+            if quad_rho:
+                rho_h = density_solver.solve_p2(
+                    state["salt_3d"], state["temp_3d"],
+                    horizontal=quad_p)
+                rho = rho_h[:, :3, :, ::2]  # P1 diagnostic density field
+            else:
+                rho = density_solver.solve(
+                    state["salt_3d"], state["temp_3d"])
+                rho_h = rho
+            r_head = bhc.compute_head(rho_h, geom, quadratic=quad_p)
             int_pg = bhc.compute_int_pg(r_head, geom)
+            if ipg_scale is not None:
+                int_pg = float(ipg_scale) * int_pg
             return rho, int_pg
 
         sigma = ext.sigma  # (nz+1,)
