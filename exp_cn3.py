@@ -103,11 +103,16 @@ def run(tag, mesh, eq, sol, fields, dt, pc_kind, restart, max_it,
                       "dof_steps_per_sec": round(thr / 1e6, 2)}), flush=True)
 
 
-mesh, eq, sol, fields, dt = build()
-run("coarse_r8_it32 (bench current)", mesh, eq, sol, fields, dt,
-    "coarse", 8, 32)
-run("coarse_r16_it32", mesh, eq, sol, fields, dt, "coarse", 16, 32)
-run("coarse_r12_it24", mesh, eq, sol, fields, dt, "coarse", 12, 24)
-run("coarse_cap8192_r8", mesh, eq, sol, fields, dt, "coarse", 8, 32,
-    coarse_cap=8192)
-run("schur_r8_it32", mesh, eq, sol, fields, dt, "schur", 8, 32)
+if __name__ == "__main__":
+    import sys
+    variants = sys.argv[1:] or ["coarse_r8", "schur_r8"]
+    mesh, eq, sol, fields, dt = build()
+    if "coarse_r8" in variants:
+        run("coarse_r8_it32 (bench current)", mesh, eq, sol, fields, dt,
+            "coarse", 8, 32)
+    if "schur_r8" in variants:
+        run("schur_r8_it32", mesh, eq, sol, fields, dt, "schur", 8, 32)
+    if "schur_r8_it16" in variants:
+        run("schur_r8_it16", mesh, eq, sol, fields, dt, "schur", 8, 16)
+    if "schur_r16_it16" in variants:
+        run("schur_r16_it16", mesh, eq, sol, fields, dt, "schur", 16, 16)

@@ -102,6 +102,17 @@ class ModelOptions3d(ModelOptions2d):
             use_modesplit_2d=True,
             vertical_velocity_scale=1e-4,
             use_automatic_timestep=False,
+            # mode-split dt control (ref ``solver.py:371-398``,
+            # ``options.py:630-633,1122-1129``): '3d' (single dt, the
+            # reference's hardcoded choice at ``solver.py:846``), '2d'
+            # (dt limited by the 2D wave CFL too) or 'split' (explicit
+            # SSPRK33 2D mode subcycled M_modesplit times at dt_2d —
+            # the mode the reference's machinery provisions for but
+            # leaves NotImplemented at ``coupled_timeintegrator.py:364``)
+            dt_mode="3d",
+            timestep_2d=10.0,
+            cfl_2d=1.0,   # ref options.py:630 (auto-dt safety factor)
+            cfl_3d=1.0,   # ref options.py:632
             # NewtonParameters override for the barotropic Krylov solve
             barotropic_solver_parameters=None,
             # 'assembled_schur' (setup-time block-assembled wave-Schur PC,
@@ -365,6 +376,9 @@ class FlowSolver:
     _CFL_COEFFS = {"CrankNicolson": (np.inf, 1.0),
                    "SSPRK22": (np.inf, 1.0),
                    "LeapFrogAM3": (np.inf, 1.5874)}
+    #: stable wave-CFL coefficient of the explicit SSPRK33 2D subcycle
+    #: (dt_mode='split'); conservative DG P1 bound
+    _SPLIT_2D_CFL = 1.0
 
     def compute_dx_factor(self):
         """Normalised horizontal node spacing for DG(p) triangles
@@ -407,16 +421,21 @@ class FlowSolver:
         return min_dx**2 / nu
 
     def set_time_step(self):
-        """Choose/report dt from the CFL bounds; with
-        ``use_automatic_timestep`` the 3D advective/diffusive bound wins
-        and dt is fitted to the export interval (ref
-        ``solver.py:332-405``; the reference hardcodes ``dt_mode='3d'``,
-        L846, so there is no split-explicit M subcycling)."""
+        """Choose/report dt from the CFL bounds and resolve the
+        mode-split dt control (ref ``solver.py:332-405``): with
+        ``dt_mode='split'`` the 2D mode runs ``M_modesplit`` explicit
+        substeps at ``dt_2d = dt / M_modesplit`` (``M = ceil(dt /
+        timestep_2d)``, or from the 2D wave CFL under
+        ``use_automatic_timestep``); ``'2d'`` limits the single dt by
+        the 2D wave CFL as well; ``'3d'`` (default — the reference's
+        hardcoded choice, ``solver.py:846``) uses the 3D bound with an
+        implicit 2D solve.  dt is then fitted to the export interval
+        and, for 'split', dt_2d refitted to divide dt."""
         o = self.options
-        _, cfl3d = self._CFL_COEFFS.get(
-            str(getattr(o, "timestepper_type", "CrankNicolson")),
-            (np.inf, 1.0),
-        )
+        ts = str(getattr(o, "timestepper_type", "CrankNicolson"))
+        cfl2d_i, cfl3d_i = self._CFL_COEFFS.get(ts, (np.inf, 1.0))
+        cfl2d = cfl2d_i * float(getattr(o, "cfl_2d", 1.0))
+        cfl3d = cfl3d_i * float(getattr(o, "cfl_3d", 1.0))
         max_dt_swe = self.compute_dt_2d(o.horizontal_velocity_scale)
         max_dt_hadv = self.compute_dt_h_advection(o.horizontal_velocity_scale)
         max_dt_vadv = self.compute_dt_v_advection(o.vertical_velocity_scale)
@@ -425,25 +444,57 @@ class FlowSolver:
         print_output(f"  - dt h. advection: {max_dt_hadv}")
         print_output(f"  - dt v. advection: {max_dt_vadv}")
         print_output(f"  - dt viscosity: {max_dt_diff}")
+        max_dt_2d = cfl2d * max_dt_swe
         max_dt_3d = cfl3d * min(max_dt_hadv, max_dt_vadv, max_dt_diff)
-        if o.use_automatic_timestep:
-            self.dt = float(max_dt_3d)
-        else:
+        dt_mode = str(getattr(o, "dt_mode", "3d"))
+        automatic = bool(o.use_automatic_timestep)
+        if not automatic:
             assert o.timestep is not None and o.timestep > 0
-            self.dt = float(o.timestep)
+        self.dt = float(o.timestep) if not automatic else None
+        dt_2d = float(getattr(o, "timestep_2d", None) or 10.0)
+        if dt_mode == "split":
+            if automatic:
+                self.dt = float(max_dt_3d)
+                # the explicit 2D substep runs SSPRK33: its wave-CFL
+                # bound governs dt_2d (cfl_2d is the user safety factor)
+                dt_2d = float(self._SPLIT_2D_CFL
+                              * float(getattr(o, "cfl_2d", 1.0))
+                              * max_dt_swe)
+            self.M_modesplit = max(1, int(np.ceil(self.dt / dt_2d)))
+            self.dt_2d = self.dt / self.M_modesplit
+        elif dt_mode == "2d":
+            if automatic:
+                self.dt = float(min(max_dt_2d, max_dt_3d))
+            self.dt_2d = self.dt
+            self.M_modesplit = 1
+        else:  # '3d'
+            if automatic:
+                self.dt = float(max_dt_3d)
+            self.dt_2d = self.dt
+            self.M_modesplit = 1
         # fit dt to the export interval
         m_exp = max(1, int(np.ceil(o.simulation_export_time / self.dt)))
         self.dt = float(o.simulation_export_time) / m_exp
+        if dt_mode == "split":
+            self.M_modesplit = max(1, int(np.ceil(self.dt / dt_2d)))
+            self.dt_2d = self.dt / self.M_modesplit
+        else:
+            self.dt_2d = self.dt
         print_output(f"dt = {self.dt}")
+        if dt_mode == "split":
+            print_output(f"2D dt = {self.dt_2d} {self.M_modesplit}")
         return self.dt
 
     def initialize(self):
         self.create_equations()
         o = self.options
-        if o.use_automatic_timestep:
+        if o.use_automatic_timestep or str(
+                getattr(o, "dt_mode", "3d")) != "3d":
             self.set_time_step()
         else:
             self.dt = float(o.timestep)
+            self.dt_2d = self.dt
+            self.M_modesplit = 1
         # barotropic Krylov: 1e-5 relative residual is the PETSc-default
         # class tolerance the reference runs its 2D mode with, and is
         # ample against the O(dt) splitting error of the mode coupling —
@@ -466,10 +517,18 @@ class FlowSolver:
             default_params = NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
                                               gmres_restart=24)
         swe_params = (o.barotropic_solver_parameters or default_params)
-        self.swe_stepper = CrankNicolson(
-            self.eq_sw, self.dt, semi_implicit=True,
-            solver_parameters=swe_params, assembled_solve=assembled,
-        )
+        if int(getattr(self, "M_modesplit", 1)) > 1:
+            # dt_mode='split': explicit SSPRK33 2D mode subcycled at
+            # dt_2d (ref ``solver.py:371-398`` provisions this; the
+            # coupled integrator path raises NotImplemented there)
+            from ..timeintegration.steppers import get_stepper
+            self.swe_stepper = get_stepper("SSPRK33", self.eq_sw,
+                                           self.dt_2d)
+        else:
+            self.swe_stepper = CrankNicolson(
+                self.eq_sw, self.dt, semi_implicit=True,
+                solver_parameters=swe_params, assembled_solve=assembled,
+            )
         self._build_step()
         if not self._exporters_created:
             self.create_exporters()
@@ -526,6 +585,7 @@ class FlowSolver:
         eq_salt = self.eq_salt
         eq_temp = self.eq_temp
         swe_stepper = self.swe_stepper
+        M_split = int(getattr(self, "M_modesplit", 1) or 1)
         density_solver = self.density_solver
         bhc = self.bhc
         w_solver = self.w_solver
@@ -1050,7 +1110,17 @@ class FlowSolver:
                 swe_fields = dict(swe_fields)
                 swe_fields["momentum_source"] = src_2d
             sw = {"uv": state["uv"], "elev": state["elev"]}
-            sw = swe_stepper.advance(0.0, sw, swe_fields, swe_fields, bnd_sw)
+            if M_split > 1:
+                # dt_mode='split': M explicit barotropic substeps at
+                # dt_2d inside one fused scan (ref solver.py:371-377)
+                sw = jax.lax.scan(
+                    lambda s, _: (swe_stepper.advance(
+                        0.0, s, swe_fields, swe_fields, bnd_sw), None),
+                    sw, None, length=M_split,
+                )[0]
+            else:
+                sw = swe_stepper.advance(0.0, sw, swe_fields, swe_fields,
+                                         bnd_sw)
             return post(state, sw, int_pg, swe_fields)
 
         self._pre_fn = pre

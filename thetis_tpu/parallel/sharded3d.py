@@ -87,6 +87,11 @@ class ShardedFlowSolver3d:
         )
         ser = self.template.swe_stepper
         from ..timeintegration.steppers import CrankNicolson
+        if int(getattr(self.template, "M_modesplit", 1) or 1) > 1:
+            raise NotImplementedError(
+                "dt_mode='split' subcycling is serial-only; use the "
+                "implicit 2D mode (dt_mode='3d') for distributed runs"
+            )
         self.swe_stepper = CrankNicolson(
             sharded_swe, ser.dt, theta=ser.theta,
             semi_implicit=ser.semi_implicit, solver_parameters=ser.params,
