@@ -79,35 +79,21 @@ def build_workload_2d(nx, ny, stepper="SSPRK33"):
         dt = 0.08 * float(mesh.cell_hmin_np.min()) / c
         st = get_stepper("SSPRK33", eq, dt)
     else:
-        dt = 2.0 * float(mesh.cell_hmin_np.min()) / c  # CFL ~ 25
+        dt = 2.0 * float(mesh.cell_hmin_np.min()) / c  # wave CFL ~2 (hmin)
         from thetis_tpu.solvers.newton import NewtonParameters
-        from thetis_tpu.solvers.assembled import (
-            PackedState, assemble_affine_operator, get_coloring,
-            CoarseCorrection,
-        )
 
         # semi-implicit system is affine + 1-ring local: per-step
         # assembled-Jacobian KSP (shift-stencil matvecs, component-major
-        # layout) with a setup-time Galerkin coarse correction (two-level
-        # V-cycle; the Schur fieldsplit PC is reserved for large wave
-        # CFL where one-level methods stall — see flowsolver2d)
-        zero = swe_state(jnp.zeros((mesh.nc, 3, 2)), jnp.zeros((mesh.nc, 3)))
-        ps = PackedState(zero)
-
-        def Fw(x):
-            st0 = ps.unpack(x)
-            r = eq.residual("all", st0, zero, fields, fields, {})
-            m = eq.mass_term(st0)
-            return ps.pack(swe_state(m["uv"] - 0.5 * dt * r["uv"],
-                                     m["elev"] - 0.5 * dt * r["elev"]))
-
-        blocks0, _ = jax.jit(
-            lambda x0: assemble_affine_operator(Fw, x0, mesh))(ps.pack(zero))
-        ring, _, _ = get_coloring(mesh)
-        coarse = CoarseCorrection(blocks0, np.asarray(ring), mesh)
+        # layout, fused Pallas ring matvec).  At this implicit wave CFL
+        # plain block-Jacobi FGMRES converges in ~20-26 iterations and
+        # the round-5 sweep (exp_cn.py nopc / PERF.md) measured it
+        # FASTER end-to-end than the two-level V-cycle (58 vs 84
+        # ms/step): each V-cycle costs ~2 ms of kernel dispatch against
+        # ~10 saved ~1.8 ms iterations.  Coarse/Schur PCs take over at
+        # larger CFL (see flowsolver2d._build_coarse policy).
         st = get_stepper(
             "CrankNicolson", eq, dt, semi_implicit=True,
-            assembled_solve=True, coarse=coarse,
+            assembled_solve=True,
             solver_parameters=NewtonParameters(ksp_rtol=1e-5, ksp_max_it=32,
                                                gmres_restart=8),
         )

@@ -151,5 +151,16 @@ def main():
         run_case("cn_1it", pc="coarse", ksp_max_it=1, restart=1)
 
 
+
+
+
+def main_nopc():
+    run_case("cn_nopc_r8_it32", pc="none", ksp_max_it=32, restart=8)
+    run_case("cn_nopc_r12_it36", pc="none", ksp_max_it=36, restart=12)
+    run_case("cn_nopc_r16_it32", pc="none", ksp_max_it=32, restart=16)
+    run_case("cn_nopc_r26_it26", pc="none", ksp_max_it=26, restart=26)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    (main_nopc if "nopc" in sys.argv else main)()

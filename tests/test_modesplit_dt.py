@@ -6,7 +6,6 @@ the explicit SSPRK33 subcycled 2D mode actually runs, and on a
 barotropic wave test it must reproduce the implicit-2D-mode solution.
 """
 import numpy as np
-import jax.numpy as jnp
 
 from thetis_tpu import RectangleMesh, FunctionSpace, Function
 from thetis_tpu.model.flowsolver3d import FlowSolver

@@ -207,6 +207,79 @@ def test_sharded_swe_steps_match_serial(swe_setup):
             assert err < 1e-12, (k, err)
 
 
+def test_sharded_assembled_cn_matches_serial(swe_setup):
+    """The distributed assembled-Jacobian KSP (analytic block assembly +
+    halo-refresh matvecs + psum dot products inside ONE shard_map,
+    ``parallel/assembled_sharded.py``) matches the serial assembled-KSP
+    CrankNicolson step.  Tight rtol so both Krylov paths solve the same
+    linear system essentially exactly."""
+    from thetis_tpu.timeintegration.steppers import CrankNicolson
+    from thetis_tpu.parallel.assembled_sharded import ShardedAssembledCN
+    from thetis_tpu.solvers.newton import NewtonParameters
+
+    mesh, eq, part, sharded, sol, fields, bndv = swe_setup
+    sol_s = _to_sharded(part, sharded, sol)
+    params = NewtonParameters(ksp_rtol=1e-13, ksp_max_it=400,
+                              gmres_restart=40)
+    st_ser = CrankNicolson(eq, 30.0, semi_implicit=True,
+                           assembled_solve=True, solver_parameters=params)
+    st_sh = ShardedAssembledCN(sharded, 30.0, solver_parameters=params)
+    ref = jax.jit(lambda s: st_ser.advance(0.0, s, fields, fields, bndv))(sol)
+    out = jax.jit(lambda s: st_sh.advance(0.0, s, fields, fields, bndv))(sol_s)
+    for k in ref:
+        a = np.asarray(ref[k])
+        b = part.gather_cells(np.asarray(out[k]))
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-10, (k, err)
+    assert len(out["elev"].sharding.device_set) == N_DEV
+
+
+def test_sharded_assembled_cn_with_coarse(swe_setup):
+    """Distributed two-level V-cycle (DistributedCoarseCorrection riding
+    psum) reproduces the serial coarse-corrected solve."""
+    from thetis_tpu.timeintegration.steppers import CrankNicolson
+    from thetis_tpu.parallel.assembled_sharded import ShardedAssembledCN
+    from thetis_tpu.solvers.newton import NewtonParameters
+    from thetis_tpu.solvers.assembled import (
+        PackedState, assemble_affine_operator, get_coloring,
+        CoarseCorrection,
+    )
+    from thetis_tpu.equations.shallowwater_2d import swe_state
+
+    mesh, eq, part, sharded, sol, fields, bndv = swe_setup
+    dt = 120.0  # larger wave CFL: the coarse correction matters
+    zero = swe_state(jnp.zeros((mesh.nc, 3, 2)), jnp.zeros((mesh.nc, 3)))
+    ps = PackedState(zero)
+
+    def Fw(x):
+        st0 = ps.unpack(x)
+        r = eq.residual("all", st0, zero, fields, fields, bndv)
+        m = eq.mass_term(st0)
+        return ps.pack(swe_state(m["uv"] - 0.5 * dt * r["uv"],
+                                 m["elev"] - 0.5 * dt * r["elev"]))
+
+    blocks0, _ = jax.jit(
+        lambda x0: assemble_affine_operator(Fw, x0, mesh))(ps.pack(zero))
+    ring, _, _ = get_coloring(mesh)
+    coarse = CoarseCorrection(blocks0, np.asarray(ring), mesh,
+                              target_size=16)
+    params = NewtonParameters(ksp_rtol=1e-13, ksp_max_it=400,
+                              gmres_restart=40)
+    st_ser = CrankNicolson(eq, dt, semi_implicit=True,
+                           assembled_solve=True, coarse=coarse,
+                           solver_parameters=params)
+    st_sh = ShardedAssembledCN(sharded, dt, solver_parameters=params,
+                               coarse=coarse)
+    sol_s = _to_sharded(part, sharded, sol)
+    ref = jax.jit(lambda s: st_ser.advance(0.0, s, fields, fields, bndv))(sol)
+    out = jax.jit(lambda s: st_sh.advance(0.0, s, fields, fields, bndv))(sol_s)
+    for k in ref:
+        a = np.asarray(ref[k])
+        b = part.gather_cells(np.asarray(out[k]))
+        err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-30)
+        assert err < 1e-10, (k, err)
+
+
 def test_sharded_3d_step_matches_serial():
     """One full distributed mode-split 3D baroclinic step (baroclinicity,
     implicit 2D solve, ALE advection, vertical mixing, coupling) == serial."""

@@ -20,7 +20,6 @@ PERF.md "Adjoint checkpointing").
 import math
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["checkpointed_scan"]
 

@@ -420,7 +420,11 @@ class FlowSolver2d:
         """Setup-time preconditioner for the assembled implicit-SWE KSP,
         chosen by the rest-state implicit wave CFL:
 
-        * modest CFL (< 6): Galerkin coarse correction
+        * small CFL (< 4): no coarse PC at all — plain block-Jacobi
+          FGMRES converges in ~20-30 iterations and beats every
+          multi-kernel PC on dispatch cost (round-5 v5e sweep: 58 vs 84
+          ms/step at 102k cells, PERF.md);
+        * moderate CFL (< 8): Galerkin coarse correction
           (:class:`~thetis_tpu.solvers.assembled.CoarseCorrection`) used
           as a two-level V-cycle — few cheap kernels per iteration, and
           block-Jacobi+coarse converges quickly in this regime;
@@ -464,7 +468,14 @@ class FlowSolver2d:
         h_max = float(np.asarray(self.bathymetry_dof).max())
         cfl = (np.sqrt(g * max(h_max, 0.05)) * coeff
                / float(np.asarray(self.mesh2d.cell_hmin_np).min()))
-        if cfl < 6.0:
+        if cfl < 4.0:
+            # plain block-Jacobi FGMRES converges in ~O(CFL x diameter
+            # of the wave stencil) ~ 20-30 iterations here and each
+            # V-cycle costs ~2 ms of fixed kernel dispatch on the v5e
+            # (round-5 sweep: 58 vs 84 ms/step on the 102k-cell bench)
+            # — no coarse PC is fastest end-to-end
+            return None
+        if cfl < 8.0:
             return CoarseCorrection(blocks, np.asarray(ring), eq.mesh)
         return SchurFieldsplitPC(blocks, np.asarray(ring), eq.mesh)
 

@@ -100,6 +100,9 @@ class ModelOptions3d(ModelOptions2d):
             # reference behavior); False falls back to the round-1 scheme
             # (full 2D SWE + depth-averaged int-PG source)
             use_modesplit_2d=True,
+            # ALE moving mesh (ref ``options.py:1074``): False freezes
+            # the 3D mesh at the rest position (fixed-mesh mode)
+            use_ale_moving_mesh=True,
             vertical_velocity_scale=1e-4,
             use_automatic_timestep=False,
             # mode-split dt control (ref ``solver.py:371-398``,
@@ -612,7 +615,15 @@ class FlowSolver:
             if o.use_bottom_friction else None
         )
 
+        use_ale = bool(getattr(o, "use_ale_moving_mesh", True))
+
         def geometry(elev):
+            if not use_ale:
+                # fixed-mesh mode (ref ``options.py:1074``
+                # ``use_ale_moving_mesh=False``): the 3D mesh stays at
+                # the rest position; the free surface evolves only in
+                # the 2D system
+                elev = jnp.zeros_like(elev)
             z = ext.z_interfaces(bathy_cell, elev)
             return asm3d.layer_geometry(z)
 
@@ -853,8 +864,10 @@ class FlowSolver:
         def mesh_velocity(elev_old, elev_new):
             """w_mesh at layer dof points: dz/dt at fixed sigma =
             sigma * d(eta)/dt (ref ``ALEMeshUpdater`` w_mesh kernel,
-            ``utility3d.py:782-799``)."""
+            ``utility3d.py:782-799``).  Zero in fixed-mesh mode."""
             deta_dt = (elev_new - elev_old) / dt  # (nc, 3)
+            if not use_ale:
+                deta_dt = jnp.zeros_like(deta_dt)
             wm_if = sigma[None, None, :] * deta_dt[..., None]  # (nc,3,nz+1)
             return jnp.stack([wm_if[..., :-1], wm_if[..., 1:]], axis=-1)
 
@@ -1175,8 +1188,11 @@ class FlowSolver:
         # diagnostic vertical velocity from the total transport (export
         # quality; deterministic in the prognostic state, so restarts
         # stay bit-exact)
+        elev_mesh = (s["elev"] if getattr(
+            self.options, "use_ale_moving_mesh", True)
+            else jnp.zeros_like(s["elev"]))
         geom = self.asm3d.layer_geometry(
-            self.extruded.z_interfaces(self.bathy_cell, s["elev"])
+            self.extruded.z_interfaces(self.bathy_cell, elev_mesh)
         )
         f.w_3d.data = self.w_solver.solve(
             s["uv_3d"] + expand_function_to_3d(s["uv"], self.extruded.nz),

@@ -191,6 +191,10 @@ class ModelOptions2d(FrozenOptions):
         self.lax_friedrichs_tracer_scaling_factor = 1.0
         self.use_limiter_for_tracers = True
         self.use_supg_tracer = False
+        # global default for tracer registration (ref ``options.py:870``
+        # ``use_tracer_conservative_form``); per-tracer
+        # ``use_conservative_form`` overrides it
+        self.use_tracer_conservative_form = False
         self.sipg_factor = 1.0
         self.sipg_factor_tracer = 1.0
         # time stepping
@@ -269,8 +273,13 @@ class ModelOptions2d(FrozenOptions):
 
     def add_tracer_2d(self, label, name=None, filename=None, shortname=None,
                       unit="", source=None, diffusivity=None,
-                      use_conservative_form=False):
-        """Register a passive tracer (ref ``options.py:951-988``)."""
+                      use_conservative_form=None):
+        """Register a passive tracer (ref ``options.py:951-988``).
+        ``use_conservative_form=None`` inherits the model-level
+        ``use_tracer_conservative_form`` trait (ref ``options.py:870``)."""
+        if use_conservative_form is None:
+            use_conservative_form = bool(
+                getattr(self, "use_tracer_conservative_form", False))
         self.tracer[label] = TracerFieldOptions(
             label, name=name, filename=filename, shortname=shortname,
             unit=unit, source=source, diffusivity=diffusivity,
@@ -279,7 +288,7 @@ class ModelOptions2d(FrozenOptions):
 
     def add_tracer_system_2d(self, labels, names=None, filenames=None,
                              shortnames=None, units=None, sources=None,
-                             diffusivities=None, use_conservative_form=False):
+                             diffusivities=None, use_conservative_form=None):
         """Register a coupled system of tracers (ref ``options.py:990-1025``)."""
         n = len(labels)
         for i, label in enumerate(labels):

@@ -92,10 +92,22 @@ class ShardedFlowSolver3d:
                 "dt_mode='split' subcycling is serial-only; use the "
                 "implicit 2D mode (dt_mode='3d') for distributed runs"
             )
-        self.swe_stepper = CrankNicolson(
-            sharded_swe, ser.dt, theta=ser.theta,
-            semi_implicit=ser.semi_implicit, solver_parameters=ser.params,
-        )
+        if getattr(ser, "assembled_solve", False):
+            # the fast path: distributed assembled-Jacobian KSP (analytic
+            # per-device block assembly + halo-refresh matvecs + psum
+            # reductions in ONE shard_map region) — keeps the serial
+            # path's per-chip solve cost on the device mesh
+            from .assembled_sharded import ShardedAssembledCN
+            self.swe_stepper = ShardedAssembledCN(
+                sharded_swe, ser.dt, theta=ser.theta,
+                solver_parameters=ser.params, coarse=ser.coarse,
+            )
+        else:
+            self.swe_stepper = CrankNicolson(
+                sharded_swe, ser.dt, theta=ser.theta,
+                semi_implicit=ser.semi_implicit,
+                solver_parameters=ser.params,
+            )
         self.sharded_swe = sharded_swe
 
     def device_put(self, tree):

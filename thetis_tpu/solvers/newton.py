@@ -63,7 +63,7 @@ def _axpy(a, x, y):
     return jax.tree_util.tree_map(lambda xi, yi: a * xi + yi, x, y)
 
 
-def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
+def _fgmres_flat(mv, b, M, rtol, restart, max_cycles, allreduce=None):
     """Restarted *flexible* GMRES (FGMRES, right-preconditioned) on flat
     vectors: classic Arnoldi + small dense least-squares per cycle.
 
@@ -86,10 +86,22 @@ def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
     The Arnoldi orthogonalisation is a dense (m+1, n) GEMV pair per
     iteration — MXU-friendly on TPU.  Convergence is monitored on the
     true (unpreconditioned) residual, as in PETSc's right-preconditioned
-    norms."""
+    norms.
+
+    ``allreduce`` (optional) sums per-shard partial reductions across a
+    device mesh (``lax.psum`` over the shard_map axis) -- the PETSc
+    VecDot-allreduce analogue.  All dot products and norms route through
+    it, so the SAME core runs the distributed assembled KSP inside
+    shard_map (``parallel/assembled_sharded.py``); the small dense
+    least-squares is computed redundantly (and identically) per device."""
     n = b.shape[0]
     m = int(restart)
-    bnorm = jnp.linalg.norm(b)
+    _sum = allreduce if allreduce is not None else (lambda x: x)
+
+    def _norm(v):
+        return jnp.sqrt(_sum(jnp.vdot(v, v).real))
+
+    bnorm = _norm(b)
     # dtype-aware floors: a 1e-300 literal underflows to zero in f32 and
     # turns Arnoldi breakdown (exact convergence inside a cycle) into 0/0
     tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, dtype=b.dtype)
@@ -98,7 +110,7 @@ def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
     def cycle(carry):
         x, it, _ = carry
         r = b - mv(x)
-        beta = jnp.linalg.norm(r)
+        beta = _norm(r)
         V0 = jnp.zeros((m + 1, n), dtype=b.dtype)
         V0 = V0.at[0].set(r / jnp.maximum(beta, tiny))
         Z0 = jnp.zeros((m, n), dtype=b.dtype)
@@ -110,9 +122,9 @@ def _fgmres_flat(mv, b, M, rtol, restart, max_cycles):
             w = mv(z)
             # Gram-Schmidt against all rows: rows > j are zero so their
             # contribution vanishes — static shapes for jit
-            h = V @ w                         # (m+1,)
+            h = _sum(V @ w)                   # (m+1,)
             w = w - h @ V
-            hj1 = jnp.linalg.norm(w)
+            hj1 = _norm(w)
             # breakdown (Krylov space exhausted): keep a zero basis row
             # instead of dividing by ~0 — lstsq then ignores the column
             v_next = jnp.where(

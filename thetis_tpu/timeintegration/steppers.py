@@ -130,12 +130,22 @@ class CrankNicolson(TimeIntegrator):
             self.params.snes_rtol = 1e-16
 
     def advance(self, t, solution, fields, fields_old, bnd_values,
-                linearization_state=None):
+                linearization_state=None, solution_prev=None):
         """One theta step.  ``linearization_state`` overrides the
         semi-implicit lagged state — the Picard re-linearization hook
         (ref ``timeintegrator.py:75`` ``advance_picard``; used by the
         2D coupled integrator's tracer Picard loop,
-        ``coupled_timeintegrator_2d.py:115-135``)."""
+        ``coupled_timeintegrator_2d.py:115-135``).
+
+        ``solution_prev`` (optional) enables the extrapolated Krylov
+        warm start on the assembled path: the solve starts from the
+        linear predictor ``2 u_n - u_{n-1}`` whose error is O(dt^2)
+        against the O(dt) step increment.  Helps only when the dynamics
+        are smooth on the dt scale; on the 102k-cell wave bench it LOST
+        6 ms/step (the extra true-residual matvec outweighed the saved
+        iterations — PERF.md round 5), so it is opt-in and off by
+        default.  Exactness is unaffected: only the Krylov initial
+        guess changes."""
         eq = self.equation
         dt, th = self.dt, self.theta
         u_old = solution
@@ -164,6 +174,8 @@ class CrankNicolson(TimeIntegrator):
             ring_j = jnp.asarray(ring)
             stencil = get_stencil(eq.mesh)
             x_old = ps.pack(u_old)
+            x_warm = (2.0 * x_old - ps.pack(solution_prev)
+                      if solution_prev is not None else x_old)
             # the analytic path linearizes the (possibly nonlinear W&D)
             # displacement mass at u_lag; probing linearizes it at u_old —
             # identical unless a Picard re-linearization state is passed
@@ -216,10 +228,12 @@ class CrankNicolson(TimeIntegrator):
                     1, self.params.ksp_max_it // self.params.gmres_restart
                 ),
                 coarse=self.coarse,
-                x0=x_old,  # warm start from the previous level
+                # warm start: extrapolated predictor when the caller
+                # supplies u_{n-1}, else the previous solution
+                x0=x_warm,
                 stencil=stencil,
                 layout=lay,
-                r0=r0,
+                r0=(r0 if solution_prev is None else None),
             )
             return ps.unpack(x)
 
