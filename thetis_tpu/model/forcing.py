@@ -246,7 +246,7 @@ class ATMNetCDFInterpolator:
 
     def __init__(self, target_lonlat, ncfile_pattern, init_date,
                  var_names=None, lon_name="lon", lat_name="lat",
-                 wind_stress_method="LargeYeager2009"):
+                 wind_stress_method="LargeYeager2009", time_name="time"):
         from scipy.interpolate import RegularGridInterpolator
         from ..utils.netcdf_io import NCFile, NetCDFTimeSearch
         from ..utils.interpolation import LinearTimeInterpolator
@@ -257,7 +257,8 @@ class ATMNetCDFInterpolator:
         self.method = wind_stress_method
         self.target = np.asarray(target_lonlat, dtype=float)
         self.timesearch = NetCDFTimeSearch(ncfile_pattern,
-                                           init_date=init_date)
+                                           init_date=init_date,
+                                           time_variable_name=time_name)
         with NCFile(self.timesearch.files[0]) as d:
             self.lon_ax = np.asarray(d.variables[lon_name][:], dtype=float)
             self.lat_ax = np.asarray(d.variables[lat_name][:], dtype=float)
@@ -399,7 +400,7 @@ class GenericNetCDFInterpolator2D:
     """
 
     def __init__(self, target_lonlat, ncfile_pattern, init_date, variables,
-                 lon_name="lon", lat_name="lat"):
+                 lon_name="lon", lat_name="lat", time_name="time"):
         self._atm = ATMNetCDFInterpolator(
             target_lonlat, ncfile_pattern, init_date,
             var_names={v: v for v in variables},
@@ -430,14 +431,16 @@ class Ocean3DInterpolator:
     """
 
     def __init__(self, target_lonlat, ncfile_pattern, init_date, variables,
-                 lon_name="lon", lat_name="lat", depth_name="depth"):
+                 lon_name="lon", lat_name="lat", depth_name="depth",
+                 time_name="time"):
         from ..utils.netcdf_io import NCFile, NetCDFTimeSearch
         from ..utils.interpolation import LinearTimeInterpolator
 
         self.variables = list(variables)
         self.target = np.asarray(target_lonlat, dtype=float)
         self.timesearch = NetCDFTimeSearch(ncfile_pattern,
-                                           init_date=init_date)
+                                           init_date=init_date,
+                                           time_variable_name=time_name)
         with NCFile(self.timesearch.files[0]) as d:
             self.lon_ax = np.asarray(d.variables[lon_name][:], dtype=float)
             self.lat_ax = np.asarray(d.variables[lat_name][:], dtype=float)
