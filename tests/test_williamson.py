@@ -239,3 +239,67 @@ def test_lauter3_unsteady():
     print(f"lauter3: rel elev err ref3 {r3:.4f} ref4 {r4:.4f}")
     assert np.isfinite([r3, r4]).all()
     assert r4 < 0.7 * r3, (r3, r4)
+
+
+def test_williamson5_facade():
+    """Williamson (1992) case 5 — zonal flow over an isolated mountain
+    (ref ``test/sphere/test_williamson.py::test_williamson5``): spatially
+    varying bathymetry through the facade, 10 h at refinement 2 with the
+    reference's config (bdm-dg, dt=3600).  No analytic solution: the run
+    must stay bounded, conserve volume exactly, and the mountain must
+    generate a flow disturbance."""
+    import jax.numpy as jnp
+    from thetis_tpu.model.flowsolver2d import FlowSolver2d
+    from thetis_tpu.solvers.newton import NewtonParameters
+
+    depth = 5960.0
+    u_max = 20.0
+    mesh = IcosahedralSphereMesh(R_EARTH, 2)
+    xyz = mesh.coords_np
+    lon = np.arctan2(xyz[:, 1], xyz[:, 0])
+    lat = np.arcsin(np.clip(xyz[:, 2] / R_EARTH, -1, 1))
+    R0 = np.pi / 9.0
+    lon_c, lat_c = -np.pi / 2.0, np.pi / 6.0
+    r = np.sqrt(np.minimum(R0**2, (lon - lon_c)**2 + (lat - lat_c)**2))
+    bath = depth - 2000.0 * (1 - r / R0)
+
+    # williamson2 initial fields at u_max (ref williamson2_init_fields)
+    amp = (R_EARTH * OMEGA * u_max + 0.5 * u_max**2) / G
+    cent = mesh.cell_midpoints()
+    sin_lat_c = cent[:, 2] / np.linalg.norm(cent, axis=1)
+    eta0 = (-amp * sin_lat_c**2)[:, None]
+    uvec = (u_max / R_EARTH) * np.stack(
+        [-xyz[:, 1], xyz[:, 0], np.zeros(mesh.nv)], axis=-1)
+    # scale uv to the modified column height (ref setup_williamson5 NOTE)
+    eta_v = -amp * (xyz[:, 2] / R_EARTH) ** 2
+    h_w2 = depth + eta_v
+    h_w5 = bath + eta_v
+    uvec = uvec * (h_w2 / h_w5)[:, None]
+
+    s = FlowSolver2d(mesh, jnp.asarray(bath))
+    o = s.options
+    o.element_family = "bdm-dg"
+    o.polynomial_degree = 0
+    o.swe_timestepper_type = "CrankNicolson"
+    o.swe_timestepper_options.use_semi_implicit_linearization = True
+    o.swe_timestepper_options.solver_parameters = NewtonParameters(
+        ksp_rtol=1e-8, ksp_max_it=96, gmres_restart=24)
+    o.timestep = 3600.0
+    o.simulation_export_time = 10 * 3600.0
+    o.simulation_end_time = 10 * 3600.0
+    o.no_exports = True
+    o.coriolis_frequency = jnp.asarray(2.0 * OMEGA * xyz[:, 2] / R_EARTH)
+    s.assign_initial_conditions(elev=jnp.asarray(eta0),
+                                uv=jnp.asarray(uvec))
+    s.initialize()
+    v0 = s.compute_volume_2d()
+    s.iterate()
+    v1 = s.compute_volume_2d()
+    elev = np.asarray(s.fields.elev_2d.data[:, 0])
+    assert np.isfinite(elev).all()
+    assert abs(v1 - v0) < 1e-9 * abs(v0), "volume not conserved"
+    # bounded: no blow-up beyond physical scales
+    assert np.abs(elev).max() < 3000.0
+    # the mountain disturbs the otherwise-steady zonal flow
+    d_elev = np.abs(elev - eta0[:, 0])
+    assert float(d_elev.max()) > 1.0, "no mountain response"

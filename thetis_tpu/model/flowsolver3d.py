@@ -1237,7 +1237,8 @@ class FlowSolver:
             if isinstance(v, Function):
                 out["viscosity_h"] = v.data
                 vh = jnp.asarray(v.data)
-                if v.space.family.upper() == "CG" and vh.ndim == 1:
+                if v.function_space.family.upper() == "CG" \
+                        and vh.ndim == 1:
                     vh = vh[self.mesh2d.cells]  # CG1 vertices -> cell nodes
                 # (nc, 3) cell-node form for the 3D momentum viscosity
                 out["viscosity_h_cells"] = vh

@@ -83,14 +83,26 @@ class ERA5Interpolator(ATMNetCDFInterpolator):
                  coord_system=None, pressure_units="pa",
                  east_wind_var_name="u10", north_wind_var_name="v10",
                  pressure_var_name="msl", time_var_name=None, **kw):
-        if time_var_name is None:
-            # modern ERA5 files use 'valid_time'; older ones 'time'
-            files = sorted(glob.glob(ncfile_pattern))
+        files = sorted(glob.glob(ncfile_pattern))
+        if files:
+            with NCFile(files[0]) as d:
+                if time_var_name is None:
+                    # modern ERA5 uses 'valid_time'; older files 'time'
+                    time_var_name = ("valid_time"
+                                     if "valid_time" in d.variables
+                                     else "time")
+                # ERA5 ships 'longitude'/'latitude' axes; accept the
+                # short names too
+                if "lon_name" not in kw:
+                    kw["lon_name"] = ("longitude"
+                                      if "longitude" in d.variables
+                                      else "lon")
+                if "lat_name" not in kw:
+                    kw["lat_name"] = ("latitude"
+                                      if "latitude" in d.variables
+                                      else "lat")
+        elif time_var_name is None:
             time_var_name = "time"
-            if files:
-                with NCFile(files[0]) as d:
-                    if "valid_time" in d.variables:
-                        time_var_name = "valid_time"
         super().__init__(
             target_lonlat, ncfile_pattern, init_date,
             var_names={"uwind": east_wind_var_name,
