@@ -74,6 +74,11 @@ def run(n_dev, nx=48, ny=24, nz=8, nsteps=10):
         part,
         lambda sm, d: make_solver(sm, part.local_vertex_values(bathy)[d], nz),
     )
+    # round 5: the barotropic solve rides the distributed assembled-KSP
+    # fast path (parallel/assembled_sharded.py) — report which stepper
+    # actually runs so regressions to the matrix-free fallback are loud
+    print(f"  [{n_dev} dev] barotropic stepper: "
+          f"{type(sh3.swe_stepper).__name__}")
     state_s = sh3.device_put(
         {k: jnp.asarray(part.scatter_cells(np.asarray(v)))
          for k, v in state.items()}

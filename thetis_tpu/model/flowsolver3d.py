@@ -512,10 +512,13 @@ class FlowSolver:
             "assembled_schur", "assembled")
         if assembled:
             # short restart: the mode-split wave CFL is O(1), the KSP
-            # typically converges within one 8-iteration cycle, and the
-            # while-loop exits between cycles (kernel-latency bound)
+            # typically converges within 1-2 short cycles, and the
+            # while-loop exits between cycles (kernel-latency bound).
+            # Round-5 sweep (exp_3d2.py): restart 6 beats 8 at the 1M-DOF
+            # bench (15.1 vs 16.3 ms/step — fewer wasted Arnoldi
+            # iterations past the convergence point)
             default_params = NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
-                                              gmres_restart=8)
+                                              gmres_restart=6)
         else:
             default_params = NewtonParameters(ksp_rtol=1e-5, ksp_max_it=48,
                                               gmres_restart=24)
