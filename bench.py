@@ -185,10 +185,14 @@ def measure(sol, nsteps, n_dofs, n, device, check=None):
     # warmup/compile with the SAME static n (a different n is a new compile)
     out = fn(sol, n)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = fn(sol, n)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    # best-of-3: host-side contention (background compiles on the 1-CPU
+    # box) adds several-ms noise to a single scanned-call measurement
+    elapsed = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = fn(sol, n)
+        jax.block_until_ready(out)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     leaf = check(out) if check is not None else out["elev"]
     assert bool(jnp.isfinite(leaf).all()), "benchmark state diverged"
     return n_dofs * n / elapsed
