@@ -22,8 +22,18 @@
 # 600x600 km ocean around the epicentre; outside it the real
 # ``japan_sea.msh`` (ASCII gmsh 2.2) and checkpoint bathymetry are read
 # from the reference data directory when present.
-import math
 import os
+
+import jax
+
+# L-BFGS over adjoint gradients of a long scan needs f64: in f32 the
+# gradient noise exceeds the curvature information and the line search
+# diverges (measured: the TPU f32 run walks to the control bounds).  The
+# TPU backend demotes f64, so this inversion example runs on CPU f64 —
+# exactly like the reference's PETSc/pyadjoint stack (f64 throughout)
+# and the slow-tier test.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import jax.numpy as jnp
@@ -40,93 +50,12 @@ REGRESSION = bool(os.environ.get("THETIS_REGRESSION_TEST"))
 REF_DIR = os.environ.get(
     "TOHOKU_DATA", "/root/reference/examples/tohoku_inversion")
 
-# Earthquake epicentre (lon, lat) and local equirectangular projection
-EPICENTRE = (142.369, 38.322)
-R_EARTH = 6367.5e3
-DEG2RAD = math.pi / 180.0
-COS_LAT0 = math.cos(EPICENTRE[1] * DEG2RAD)
-
-
-def lonlat_to_xy(lon, lat):
-    x = R_EARTH * DEG2RAD * (lon - EPICENTRE[0]) * COS_LAT0
-    y = R_EARTH * DEG2RAD * (lat - EPICENTRE[1])
-    return x, y
-
-
-def xy_to_lonlat(x, y):
-    lon = EPICENTRE[0] + x / (R_EARTH * DEG2RAD * COS_LAT0)
-    lat = EPICENTRE[1] + y / (R_EARTH * DEG2RAD)
-    return lon, lat
-
-
-# ---------------------------------------------------------------------------
-# Okada (1985) surface deformation, differentiable jnp
-# ---------------------------------------------------------------------------
-
-POISSON = 0.25
-
-
-def okada_elevation(params, lon, lat):
-    """Vertical seafloor displacement of a rectangular finite fault.
-
-    Okada (1985) eqs. (25)-(30) restricted to the vertical component of
-    the strike-slip and dip-slip point contributions, assembled with the
-    standard four-corner Chinnery substitution f(x,p) - f(x,p-W) -
-    f(x-L,p) + f(x-L,p-W).  Matches ref ``okada.py`` (same published
-    formulas); written directly in jnp over dof-coordinate arrays so
-    ``jax.grad`` differentiates the source w.r.t. the fault parameters.
-
-    :arg params: dict with keys depth (m), length (m), width (m),
-        strike/dip/rake (degrees), slip (m), lat, lon (fault centroid)
-    :arg lon, lat: arrays of evaluation coordinates (degrees)
-    """
-    d2r = DEG2RAD
-    sd, cd = jnp.sin(params["dip"] * d2r), jnp.cos(params["dip"] * d2r)
-    ss, cs = jnp.sin(params["strike"] * d2r), jnp.cos(params["strike"] * d2r)
-    half_len = 0.5 * params["length"]
-
-    # bottom-centre of the fault plane (ref okada.py:74-76)
-    lon_bot = params["lon"] - 0.5 * (
-        -params["width"] * cd * cs / jnp.cos(params["lat"] * d2r)
-    ) / (R_EARTH * d2r)
-    lat_bot = params["lat"] - 0.5 * (params["width"] * cd * ss) / (R_EARTH * d2r)
-    z_bot = params["depth"] + 0.5 * params["width"] * sd
-
-    # local metric coordinates relative to the bottom-centre
-    xx = R_EARTH * d2r * jnp.cos(lat * d2r) * (lon - lon_bot)
-    yy = R_EARTH * d2r * (lat - lat_bot)
-    # rotate into the strike-dip frame
-    x1 = xx * ss + yy * cs
-    x2 = -(xx * cs - yy * ss)
-    p = x2 * cd + z_bot * sd
-    q = x2 * sd - z_bot * cd
-
-    def uz_strike(y1, y2):
-        db = y2 * sd - q * cd
-        r = jnp.sqrt(y1 * y1 + y2 * y2 + q * q)
-        i4 = 2.0 * POISSON * (jnp.log(r + db) - sd * jnp.log(r + y2)) / cd
-        return -(db * q / (r * (r + y2)) + q * sd / (r + y2) + i4 * sd) / (
-            2.0 * jnp.pi)
-
-    def uz_dip(y1, y2):
-        db = y2 * sd - q * cd
-        r = jnp.sqrt(y1 * y1 + y2 * y2 + q * q)
-        xr = jnp.sqrt(y1 * y1 + q * q)
-        i5 = (4.0 * POISSON / cd) * jnp.arctan(
-            (y2 * (xr + q * cd) + xr * (r + xr) * sd) / (y1 * (r + xr) * cd))
-        return -(db * q / (r * (r + y1))
-                 + sd * jnp.arctan(y1 * y2 / (q * r)) - i5 * sd * cd) / (
-            2.0 * jnp.pi)
-
-    def chinnery(f):
-        return (f(x1 + half_len, p) - f(x1 + half_len, p - params["width"])
-                - f(x1 - half_len, p) + f(x1 - half_len, p - params["width"]))
-
-    u_strike = chinnery(uz_strike) * params["slip"] * jnp.cos(
-        params["rake"] * d2r)
-    u_dip = chinnery(uz_dip) * params["slip"] * jnp.sin(params["rake"] * d2r)
-    return u_strike + u_dip
-
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from okada import (  # noqa: E402
+    okada_elevation, lonlat_to_xy, xy_to_lonlat,
+    EPICENTRE, R_EARTH, DEG2RAD, POISSON,
+)
 
 # Canonical Tohoku 2011 fault (ref model_config.py okada defaults)
 FAULT = dict(
@@ -247,6 +176,47 @@ def inverse_problem(times, samples):
     return J0, J1, slip, depth_km
 
 
+def inverse_problem_array(times, samples, maxiter=None):
+    """Subfault-array source inversion (ref ``sources.py`` 'okada'
+    array mode): controls are per-subfault slips of a 3x2 Okada array
+    on the shared Tohoku fault plane, recovered from the same gauge
+    records."""
+    from sources import OkadaArraySource
+
+    so = make_solver()
+    xy = np.asarray(so.function_spaces.H_2d.dof_coords())
+    lon, lat = xy_to_lonlat(xy[..., 0] - LX / 2, xy[..., 1] - LY / 2)
+    src = OkadaArraySource(
+        np.column_stack([np.asarray(lon).ravel(),
+                         np.asarray(lat).ravel()]),
+        dict(FAULT, depth=TRUE_DEPTH), nx=3, ny=2, slip0=5.0)
+    sta = StationObservationManager(so)
+    sta.register_observation_data(
+        STATIONS["names"], "elev",
+        [times] * len(STATIONS["names"]),
+        [samples[n] for n in STATIONS["names"]],
+        STATIONS["x"], STATIONS["y"],
+    )
+    sta.construct_evaluator()
+    im = InversionManager(sta, real_cost_function_scaling=1e3,
+                          output_dir="outputs_inv_tohoku_array")
+    shape = np.asarray(so.fields.elev_2d.data).shape
+
+    def mapping(c):
+        return src.mapping(c).reshape(shape)
+
+    im.add_control("initial_elev", src.controls(), mapping=mapping)
+    rf = im.get_reduced_functional(N_STEPS)
+    J0 = rf()
+    result = im.minimize(maxiter=maxiter or MAXITER, ftol=1e-12,
+                         gtol=1e-12, bounds=src.control_bounds())
+    J1 = rf([result])
+    slips = np.asarray(result)
+    print_output(f"array source: J {J0:.4e} -> {J1:.4e}; "
+                 f"slips {np.round(slips, 2)}")
+    return J0, J1, slips
+
+
 def check_real_data():
     """Outside CI this example also validates the real-data ingestion:
     the reference's japan_sea.msh parses and covers the epicentre."""
@@ -265,6 +235,12 @@ if __name__ == "__main__":
         check_real_data()
     times, samples = forward_run()
     J0, J1, slip, depth_km = inverse_problem(times, samples)
+    # subfault-array source mode: the misfit must drop and the mean
+    # recovered slip must move from the 5 m guess toward the 20 m truth
+    Ja0, Ja1, slips = inverse_problem_array(
+        times, samples, maxiter=(2 if REGRESSION else 25))
+    assert Ja1 < 0.9 * Ja0, (Ja0, Ja1)
+    assert slips.mean() > 5.5, slips
     assert J1 < 0.25 * J0, (J0, J1)
     assert abs(slip - TRUE_SLIP) < abs(GUESS_SLIP - TRUE_SLIP), slip
     assert abs(depth_km - TRUE_DEPTH / 1e3) < abs(

@@ -57,3 +57,24 @@ def test_user_export_manager(tmp_path):
     files = glob.glob(os.path.join(str(tmp_path), "**", "*my_diag*"),
                       recursive=True)
     assert files
+
+
+def test_minimize_bounds_pairs_two_controls():
+    """Regression: with exactly 2 control entries, scipy-style
+    [(lb, ub), (lb, ub)] bounds must NOT be misread as pyadjoint-style
+    [lb_list, ub_list] (which pinned the 2nd control to its 'bound'
+    pair and broke the tohoku 2-parameter inversion)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from thetis_tpu.adjoint.reduced_functional import (
+        Control, ReducedFunctional, minimize)
+
+    target = jnp.asarray([3.0, 42.0])
+
+    def fwd(c):
+        return jnp.sum((c - target) ** 2)
+
+    rf = ReducedFunctional(fwd, Control(jnp.asarray([1.0, 30.0])))
+    out = minimize(rf, bounds=[(0.5, 10.0), (5.0, 60.0)],
+                   options=dict(maxiter=50))
+    np.testing.assert_allclose(np.asarray(out), [3.0, 42.0], atol=1e-6)

@@ -158,10 +158,15 @@ def minimize(rf, method="L-BFGS-B", bounds=None, options=None, callback=None):
         [np.asarray(c.value).ravel() for c in rf.controls]
     )
     if bounds is not None and not isinstance(bounds, sciopt.Bounds):
-        # pyadjoint-style [(lb_list), (ub_list)] or [(lb, ub), ...]
+        # accepted forms: scipy-style [(lb, ub), ...] (one pair per
+        # control entry — takes precedence in the ambiguous n == 2
+        # case), pyadjoint-style [lb_list, ub_list], or a single
+        # (lb, ub) pair broadcast over all controls
         bounds = np.asarray(bounds, dtype=float)
         if bounds.ndim == 1 and len(bounds) == 2:
             bounds = [(bounds[0], bounds[1])] * len(x0)
+        elif bounds.ndim == 2 and bounds.shape == (len(x0), 2):
+            bounds = [tuple(b) for b in bounds]
         elif bounds.shape == (2, len(x0)):
             bounds = list(zip(bounds[0], bounds[1]))
     res = sciopt.minimize(

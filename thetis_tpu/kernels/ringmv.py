@@ -90,30 +90,72 @@ def _mv_call(blocks_flat, xs_flat, d, ns):
     )(xs_flat, blocks_flat)
 
 
-def ring_mv_pallas(stencil, blocks_T, xT):
-    """Fused ring matvec: blocks_T (ns, d, d, nc), xT (d, nc) -> (d, nc).
-
-    Correction (nonconforming) entries are NOT applied here — the caller
-    adds them exactly as in :meth:`ShiftStencil.apply_T`.  Returns
-    ``None`` when the fused path does not apply (backend)."""
-    if not _on_fused_backend():
-        return None
-    ns, d, _, nc = blocks_T.shape
-    # XLA side: per-slot masked shifted sums (fuses into 1-2 elementwise
-    # kernels; (ns*d, nc) is ~3% of the block bytes)
+def _slot_inputs(stencil, xT, ns):
+    """Per-slot masked shifted sums xs (ns*d, nc) — the XLA side of the
+    fused matvec (fuses into 1-2 elementwise kernels)."""
     xs = [None] * ns
     xs[0] = xT
     for s, off, mask in stencil.terms:
         xk = stencil._shift_T(xT, off) * mask[:, 0].astype(xT.dtype)[None, :]
         xs[s] = xk if xs[s] is None else xs[s] + xk
     zero = jnp.zeros_like(xT)
-    xs = jnp.concatenate([x if x is not None else zero for x in xs], axis=0)
+    return jnp.concatenate([x if x is not None else zero for x in xs],
+                           axis=0)
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ring_mv_fused(stencil, blocks_T, xT):
+    ns, d, _, nc = blocks_T.shape
+    xs = _slot_inputs(stencil, xT, ns)
     ncp = -(-nc // _TILE) * _TILE
     bf = jnp.pad(blocks_T.reshape(ns * d * d, nc), ((0, 0), (0, ncp - nc)))
     xsf = jnp.pad(xs, ((0, 0), (0, ncp - nc)))
-    y = _mv_call(bf, xsf, d, ns)
-    return y[:, :nc]
+    return _mv_call(bf, xsf, d, ns)[:, :nc]
+
+
+def _ring_mv_fwd(stencil, blocks_T, xT):
+    return _ring_mv_fused(stencil, blocks_T, xT), (blocks_T, xT)
+
+
+def _ring_mv_bwd(stencil, res, ybar):
+    """Pallas kernels carry no AD rule; the (rare) backward pass runs in
+    plain XLA.  y = sum_s B_s (M_s x) with M_s = sum_d mask_d shift_d:
+
+    * xbar  = sum_s M_s^T (B_s^T ybar)  — reverse shifts after masking
+    * B_s-bar = ybar (x) (M_s x)        — per-slot outer products
+    """
+    blocks_T, xT = res
+    ns, d, _, nc = blocks_T.shape
+    xs = _slot_inputs(stencil, xT, ns)          # (ns*d, nc)
+    xs = xs.reshape(ns, d, nc)
+    blocks_bar = jnp.einsum("ic,sjc->sijc", ybar, xs)
+    # slot-0 (self) contribution
+    xbar = jnp.einsum("ijc,ic->jc", blocks_T[0], ybar)
+    for s, off, mask in stencil.terms:
+        w = mask[:, 0].astype(ybar.dtype)[None, :]
+        t = jnp.einsum("ijc,ic->jc", blocks_T[s], ybar) * w
+        xbar = xbar + stencil._shift_T(t, -off)
+    return blocks_bar, xbar
+
+
+_ring_mv_fused.defvjp(_ring_mv_fwd, _ring_mv_bwd)
+
+
+def ring_mv_pallas(stencil, blocks_T, xT):
+    """Fused ring matvec: blocks_T (ns, d, d, nc), xT (d, nc) -> (d, nc).
+
+    Correction (nonconforming) entries are NOT applied here — the caller
+    adds them exactly as in :meth:`ShiftStencil.apply_T`.  Returns
+    ``None`` when the fused path does not apply (backend).
+    Reverse-differentiable via a custom VJP (backward in plain XLA)."""
+    if not _on_fused_backend() or (
+            jax.default_backend() == "tpu"
+            and blocks_T.dtype == jnp.float64):
+        # Mosaic has no f64 path (the TPU X64 rewriter cannot demote a
+        # pallas custom call); f64 traces take the XLA einsum fallback.
+        # Interpret mode (CPU tests) runs any dtype.
+        return None
+    return _ring_mv_fused(stencil, blocks_T, xT)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -141,7 +183,9 @@ def _bjac_call(diag_flat, r_padded, d):
 
 def block_diag_mv_pallas(diag_T, rT):
     """Fused block-diagonal action: diag_T (d, d, nc), rT (d, nc)."""
-    if not _on_fused_backend():
+    if not _on_fused_backend() or (
+            jax.default_backend() == "tpu"
+            and diag_T.dtype == jnp.float64):
         return None
     d, _, nc = diag_T.shape
     ncp = -(-nc // _TILE) * _TILE

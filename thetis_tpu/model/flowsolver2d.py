@@ -635,7 +635,9 @@ class FlowSolver2d:
         if not o.no_exports:
             self.exporters["vtk"] = ExportManager(
                 o.output_directory, o.fields_to_export, self.fields,
-                export_type="npz",
+                # ParaView .vtu/.pvd series like the reference; NPZ
+                # available via options.export_format='npz'
+                export_type=str(getattr(o, "export_format", "vtk")),
             )
             self.exporters["hdf5"] = ExportManager(
                 o.output_directory,

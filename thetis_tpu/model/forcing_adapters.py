@@ -35,7 +35,7 @@ from ..utils.netcdf_io import NCFile, NetCDFTimeSearch
 from ..utils.interpolation import (
     GridInterpolator, DailyFileTimeSearch, LinearTimeInterpolator,
 )
-from .forcing import ATMNetCDFInterpolator, compute_wind_stress
+from .forcing import ATMNetCDFInterpolator
 
 __all__ = [
     "ERA5Interpolator",

@@ -195,6 +195,9 @@ class ModelOptions2d(FrozenOptions):
         # ``use_tracer_conservative_form``); per-tracer
         # ``use_conservative_form`` overrides it
         self.use_tracer_conservative_form = False
+        # visualization output format: 'vtk' (ParaView .vtu/.pvd, the
+        # reference's format) or 'npz'
+        self.export_format = "vtk"
         self.sipg_factor = 1.0
         self.sipg_factor_tracer = 1.0
         # time stepping
