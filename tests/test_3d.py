@@ -235,6 +235,7 @@ def test_timeseries_callback_3d():
     assert abs(val - (15.0 + 0.2 * -10.0)) < 1e-10, val
 
 
+@pytest.mark.slow
 def test_tracer3d_value_bc_inflow():
     """3D tracer 'value' boundary condition (ref ``tracer_eq.py:171-189``):
     inflow through an open boundary carries the prescribed external

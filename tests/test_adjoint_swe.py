@@ -88,6 +88,7 @@ def test_gradient_from_adjoint(stepper):
     assert minconv > 1.90
 
 
+@pytest.mark.slow
 def test_gradient_wrt_initial_elevation():
     """Gradient w.r.t. the initial condition (the data-assimilation
     control)."""

@@ -286,6 +286,7 @@ def test_fieldsplit_pc_high_cfl_convergence():
         rel_resid(x_fs), rel_resid(x_bj))
 
 
+@pytest.mark.slow
 def test_fieldsplit_cn_step_and_gradient():
     """CN stepping through ``ring_gmres`` with the fieldsplit PC must
     match the matrix-free solve, and reverse-mode AD must flow through

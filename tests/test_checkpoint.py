@@ -74,6 +74,7 @@ def make_solver3d(tmpdir, t_end):
     return so
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_3d(tmp_path):
     """3D kill-and-restart: the restarted trajectory is bit-identical
     (ref ``solver.py:1006-1073`` load_state)."""

@@ -65,6 +65,7 @@ def _make_solver(n_steps, dt=3.0):
     return so
 
 
+@pytest.mark.slow
 def test_forward_gradient_checkpoint_consistency():
     """differentiable_forward(checkpoint=...) reproduces the
     plain-scan gradient wrt a drag control."""

@@ -2,12 +2,14 @@
 ``use_ale_moving_mesh=False``) and the global 2D
 ``use_tracer_conservative_form`` trait (ref ``options.py:870``)."""
 import numpy as np
+import pytest
 
 from thetis_tpu import RectangleMesh, FunctionSpace, Function
 from thetis_tpu.model.flowsolver3d import FlowSolver
 from thetis_tpu.model.options import ModelOptions2d
 
 
+@pytest.mark.slow
 def test_fixed_mesh_barotropic_wave():
     """A small-amplitude barotropic wave on the frozen mesh stays finite
     and tracks the ALE solution to O(eta/H)."""

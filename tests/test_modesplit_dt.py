@@ -6,6 +6,7 @@ the explicit SSPRK33 subcycled 2D mode actually runs, and on a
 barotropic wave test it must reproduce the implicit-2D-mode solution.
 """
 import numpy as np
+import pytest
 
 from thetis_tpu import RectangleMesh, FunctionSpace, Function
 from thetis_tpu.model.flowsolver3d import FlowSolver
@@ -62,6 +63,7 @@ def test_dt_mode_2d():
     assert so.M_modesplit == 1 and so.dt_2d == so.dt
 
 
+@pytest.mark.slow
 def test_split_matches_implicit_barotropic():
     """A barotropic gravity wave stepped with the subcycled explicit 2D
     mode must match the implicit (dt_mode='3d') solution."""

@@ -69,6 +69,7 @@ def test_no_exports_suppresses_diagnostics(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_tracer_picard_iterations_run_and_converge(tmp_path):
     """Picard sweeps re-linearize the semi-implicit tracer solve at the
     previous iterate (ref ``coupled_timeintegrator_2d.py:115-135``).

@@ -3,6 +3,7 @@ uniform channel flow, and Exner bed evolution with bedload over a bump
 (migrating-dune direction check, cf. the reference's
 ``test/sediment/test_migrating_trench.py`` family)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from thetis_tpu import (
@@ -78,6 +79,7 @@ def test_suspended_sediment_equilibrium():
     assert np.median(rel) < 0.25, f"median relative gap {np.median(rel)}"
 
 
+@pytest.mark.slow
 def test_exner_bed_evolution():
     """Bedload over a submerged bump: the bed must change, conserve
     sediment volume (closed-ish domain in bedload), and stay finite."""
@@ -95,6 +97,7 @@ def test_exner_bed_evolution():
     assert np.abs(dz[crest]).max() > np.abs(dz[~crest]).max() * 0.5
 
 
+@pytest.mark.slow
 def test_sediment_slide_relaxes_steep_slope():
     """ExnerSedimentSlideTerm (ref ``exner_eq.py:132-150`` +
     ``sediment_model.py:312-354``): a bed slope steeper than

@@ -34,6 +34,7 @@ def make_solver3d(nx=12, nz=6, lx=20e3, depth=20.0, **opts):
     return so
 
 
+@pytest.mark.slow
 def test_barotropic_consistency():
     """Uniform density: 3D elevation evolution matches the 2D-only model;
     deviation velocity stays ~0."""
@@ -94,6 +95,7 @@ def test_tracer_consistency_coupled():
     assert np.isfinite(np.asarray(so.fields.uv_3d.data)).all()
 
 
+@pytest.mark.slow
 def test_lock_exchange():
     """Temperature front collapses: bottom flow toward the warm side,
     surface flow toward the cold side, fields stay bounded
@@ -157,6 +159,7 @@ def test_hcc_metric():
     assert jnp.isfinite(hcc2).all()
 
 
+@pytest.mark.slow
 def test_ssprk22_ale_two_stage():
     """SSPRK22 two-stage ALE integrator (ref CoupledTwoStageRK /
     SSPRK22ALE): machine-exact uniform-tracer consistency and stable
@@ -188,6 +191,7 @@ def test_ssprk22_ale_two_stage():
     assert uv3[:, :, 0, 0, 0][front].mean() > 0
 
 
+@pytest.mark.slow
 def test_leapfrog_am3():
     """LeapFrogAM3 ALE integrator (ref ``timeintegrator.py:467-607``):
     machine-exact uniform-tracer consistency and correct lock-exchange

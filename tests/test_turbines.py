@@ -69,6 +69,7 @@ def test_farm_drag_creates_head_difference():
     assert heads[1] > 10 * heads[0] > 0
 
 
+@pytest.mark.slow
 def test_power_callback():
     so = farm_setup(density=0.02)
     cb = TurbineFunctionalCallback(so, append_to_log=False)
