@@ -172,6 +172,7 @@ options.use_bottom_friction = True
 options.bottom_roughness = 0.005
 options.use_turbulence = True   # GLS closure (the default model)
 options.use_baroclinic_formulation = True
+options.use_quadratic_pressure = True  # ref enables P2DGxP2 head here
 options.use_lax_friedrichs_velocity = True
 options.use_lax_friedrichs_tracer = False
 options.lax_friedrichs_velocity_scaling_factor = 1.0

@@ -112,6 +112,7 @@ options.solve_salinity = False
 options.solve_temperature = True
 options.constant_salinity = 0.0
 options.use_baroclinic_formulation = True
+options.use_quadratic_pressure = True  # ref enables P2DGxP2 head here
 options.use_implicit_vertical_diffusion = True
 options.use_bottom_friction = True
 options.quadratic_drag_coefficient = 2e-3
