@@ -93,14 +93,17 @@ temp_3d = (temp_surf.data[:, :, None, None]
 solver_obj.assign_initial_conditions(temp=temp_3d, salt=salt_const)
 
 if __name__ == "__main__":
+    T0_min = float(np.asarray(temp_3d).min())
+    T0_max = float(np.asarray(temp_3d).max())
     solver_obj.iterate()
     temp = np.asarray(solver_obj.fields.temp_3d.data)
     print_output(
         f"final temperature range: {temp.min():.2f} .. {temp.max():.2f} degC"
+        f" (initial {T0_min:.2f} .. {T0_max:.2f})"
     )
     assert np.isfinite(temp).all()
     # slope limiter keeps the stratified front inside its initial range
-    assert temp.min() > 8.0 and temp.max() < 26.0
+    assert temp.min() > T0_min - 0.1 and temp.max() < T0_max + 0.1
     uv3 = np.asarray(solver_obj.fields.uv_3d.data)
     assert np.isfinite(uv3).all()
     assert np.abs(uv3).max() > 1e-5  # geostrophic adjustment has begun

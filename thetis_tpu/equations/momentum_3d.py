@@ -141,6 +141,20 @@ class MomentumEquation3D(EquationBase):
             return
         f = jnp.asarray(cor)
         uv = c["uv_q"]  # (nc, nz, nq, nqv, 2)
+        bg = c["fields"].get("coriolis_bg_uv_2d")
+        if bg is not None:
+            # mode-split coupling: rotate only the DEVIATION velocity.
+            # The 2D mode carries its own CoriolisTerm, and the depth
+            # average of the 3D tendency feeds back into the 2D momentum
+            # through ``split_residual`` — rotating the barotropic part
+            # here as well double-counts the 2D Coriolis (measured: an
+            # undamped geostrophic mean spiralled to rest in the Ekman
+            # test).  The reference avoids this by advancing the
+            # DEVIATION in its 3D momentum equation
+            # (``coupled_timeintegrator.py:55-58`` removes the depth
+            # average before the 2D coupling).
+            bg_q = self.asm3d.asm2d.cell_values(bg)  # (nc, nq, 2)
+            uv = uv - bg_q[:, None, :, None, :]
         if f.ndim == 1 and f.shape[0] == self.mesh.nv:
             # CG1 vertex field: evaluate at the horizontal quad points and
             # broadcast over (nz, nqv)

@@ -950,6 +950,11 @@ class FlowSolver:
                 "w_mesh_3d": w_mesh,
                 "int_pg_3d": int_pg,
                 "coriolis": swe_fields.get("coriolis"),
+                # Coriolis acts on the DEVIATION in the 3D mode (the 2D
+                # mode has its own CoriolisTerm; rotating the barotropic
+                # part here would double-count through split_residual —
+                # ref coupled_timeintegrator.py:55-58 deviation split)
+                "coriolis_bg_uv_2d": sw["uv"],
                 "viscosity_h": visc_h,
                 "momentum_source_3d": swe_fields.get("momentum_source_3d"),
             }
