@@ -129,6 +129,42 @@ def test_vertical_velocity(setup3d):
     wsolver = VerticalVelocitySolver(a3, bathy)
     w = wsolver.solve(uv, geom)
     assert np.abs(np.asarray(w)).max() < 1e-10
+    w_weak = wsolver.solve_weak(uv, geom)
+    assert np.abs(np.asarray(w_weak)).max() < 1e-10
+
+
+def test_vertical_velocity_flux_consistency(setup3d):
+    """The weak w solve makes the DG advection operator exactly
+    divergence-consistent: the tracer residual at c == 1 vanishes on
+    every row except the free-surface nodes (where it equals the
+    kinematic surface flux, handled by the consistency field) — the
+    property of the reference's weak solve (ref ``utility3d.py:27-129``)
+    that the pointwise column integration lacks."""
+    mesh, asm, ext, a3, bathy, z, geom = setup3d
+    xy = FunctionSpace(mesh, "DG", 1).dof_coords()
+    zz = jnp.stack([z[..., :-1], z[..., 1:]], axis=-1)
+    x = jnp.broadcast_to(xy[..., 0][:, :, None, None], zz.shape)
+    y = jnp.broadcast_to(xy[..., 1][:, :, None, None], zz.shape)
+    u = 0.5 * jnp.sin(2 * np.pi * x / 4e3) * jnp.cos(
+        np.pi * (zz + 10.0) / 10.0)
+    v = 0.3 * jnp.cos(2 * np.pi * y / 2e3)
+    uv3 = jnp.stack([u, v], axis=-1)
+    wsolver = VerticalVelocitySolver(a3, bathy)
+    w = wsolver.solve_weak(uv3, geom)
+    opts = SimpleNamespace(
+        sipg_factor_tracer=1.0, sipg_factor_vertical_tracer=1.0,
+        use_lax_friedrichs_tracer=False,
+    )
+    eq = TracerEquation3D(mesh, a3, opts, bnd_conditions={},
+                          label="salt_3d")
+    c1 = jnp.ones((mesh.nc, 3, ext.nz, 2))
+    r = np.asarray(eq.residual(
+        "all", {"salt_3d": c1}, {"salt_3d": c1},
+        {"uv_3d": uv3, "w_3d": w}, {}, {}, geom=geom)["salt_3d"])
+    # all rows except the free-surface (top) nodes are machine zero
+    interior = np.concatenate(
+        [r[:, :, :-1, :].ravel(), r[:, :, -1, 0].ravel()])
+    assert np.abs(interior).max() < 1e-10 * np.abs(r).max()
 
 
 def test_tracer3d_consistency(setup3d):

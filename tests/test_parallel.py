@@ -280,6 +280,47 @@ def test_sharded_assembled_cn_with_coarse(swe_setup):
         assert err < 1e-10, (k, err)
 
 
+def test_submesh_weak_w_matches_serial():
+    """The flux-consistent weak w solve (round-5 default) gathers facet
+    traces, so on partition SubMeshes it must reproduce the serial w on
+    every facet-complete cell (owned + ring-1) — the invariant the
+    sharded 3D step's tracer advection relies on."""
+    from thetis_tpu.mesh.extruded import ExtrudedMesh
+    from thetis_tpu.fem.assembly3d import Assembler3D
+    from thetis_tpu.equations.utility3d import VerticalVelocitySolver
+    from thetis_tpu.parallel.submesh import HaloPartition
+
+    nz = 4
+    mesh = RectangleMesh(16, 8, 8e3, 4e3)
+    rng = np.random.RandomState(3)
+
+    def build_ws(m, bathy_cell):
+        V = FunctionSpace(m, "DG", 1)
+        asm = DGAssembler(m, V)
+        ext = ExtrudedMesh(m, n_layers=nz)
+        a3 = Assembler3D(m, asm, ext)
+        z = ext.z_interfaces(jnp.asarray(bathy_cell),
+                             jnp.zeros((m.nc, 3)))
+        return VerticalVelocitySolver(a3, jnp.asarray(bathy_cell)), \
+            a3.layer_geometry(z)
+
+    bathy_vert = 20.0 + 5.0 * np.sin(mesh.coords_np[:, 0] / 8e3 * np.pi)
+    ws, geom = build_ws(mesh, bathy_vert[mesh.cells_np])
+    uv = jnp.asarray(rng.rand(mesh.nc, 3, nz, 2, 2) - 0.5)
+    w_ser = np.asarray(ws.solve_weak(uv, geom))
+
+    part = HaloPartition(mesh, 4)
+    uv_loc = part.local_cell_values(np.asarray(uv))
+    for d, sm in enumerate(part.submeshes):
+        b_loc = part.local_vertex_values(bathy_vert)[d][sm.cells_np]
+        ws_d, geom_d = build_ws(sm, b_loc)
+        w_d = np.asarray(ws_d.solve_weak(jnp.asarray(uv_loc[d]), geom_d))
+        w_ref = w_ser[part.ext_ids[d]]
+        complete = (np.asarray(sm.cell_facets) != sm.nf - 1).all(axis=1)
+        complete[:part.n_loc] = True
+        assert np.abs(w_d[complete] - w_ref[complete]).max() == 0.0
+
+
 def test_sharded_3d_step_matches_serial():
     """One full distributed mode-split 3D baroclinic step (baroclinicity,
     implicit 2D solve, ALE advection, vertical mixing, coupling) == serial."""

@@ -57,17 +57,105 @@ class VerticalVelocitySolver:
     r"""Diagnostic vertical velocity from incompressibility:
     dw/dz = -div_h(uv), w(-h) = -uv . grad(h)  (ref L27-129).
 
-    Computed pointwise at horizontal dof columns by integrating the
-    projected horizontal divergence upward from the bottom.
+    Two formulations:
+
+    * :meth:`solve` — pointwise column integration of the projected
+      horizontal divergence (first-order flux-consistent with the DG
+      continuity; cheap).
+    * :meth:`solve_weak` — the reference's weak continuity solve
+      (ref ``utility3d.py:27-129``): find ``w`` such that the DG
+      advection operator applied to the uniform tracer vanishes,
+
+          \int w d(phi)/dz dV - \oint \hat w [phi n_z] dS
+              = -( \int uv . grad_h(phi) dV - \oint avg(uv).n [phi] dS )
+
+      with central interface fluxes, the bottom flux closed (this IS the
+      impermeability condition ``(uv, w).n = 0`` in weak form) and the
+      surface flux taken from the own trace (the free-surface kinematic
+      value emerges from the solve).  Because every block of the
+      operator factorizes over the extruded layout as
+      ``M_h (x) T`` — the layer thickness cancels in
+      ``\int w d(phi)/dz`` and the interface integrals ride the
+      projected horizontal measure — the solve is two small constant
+      contractions (``T^{-1}`` over the vertical profile, ``M_h^{-1}``
+      per triangle) applied to one weak-divergence assembly, no Krylov
+      loop.  The tracer advection then sees a velocity whose discrete
+      divergence is zero row-by-row (except the free-surface rows,
+      handled by the uniform-consistency field), which restores
+      second-order convergence of the coupled MMS ladder.
     """
 
     def __init__(self, asm3d, bathymetry_cell):
         """:arg bathymetry_cell: (nc, 3) bathymetry at horizontal nodes"""
+        import numpy as np
+
         self.asm3d = asm3d
         self.bathy_cell = bathymetry_cell
         asm2 = asm3d.asm2d
         # nodal horizontal gradient of bathymetry (P1 per cell: constant)
         self.grad_h = asm2.cell_grads(bathymetry_cell)[:, 0]  # (nc, 2)
+        mesh = asm3d.mesh
+        is_bnd = np.asarray(mesh.facet_is_boundary_np)
+        self._mask_int = (~is_bnd).astype(np.float64)
+        self._mask_bnd = is_bnd.astype(np.float64)
+        # constant factors of the weak operator M_h (x) T (see class doc)
+        self._Mh_inv_ref = np.linalg.inv(np.asarray(asm2._Mref_np))
+        nz = asm3d.nz
+        N = 2 * nz
+        T = np.zeros((N, N))
+        # volume: + int psi_a psi'_pp per layer (rows = tests (k, pp))
+        D = np.array([[-0.5, 0.5], [-0.5, 0.5]])  # D[a, pp]
+        for k in range(nz):
+            for a in range(2):
+                for pp in range(2):
+                    T[2 * k + pp, 2 * k + a] += D[a, pp]
+        # interior interfaces: central flux f_i = (w[2i-1] + w[2i]) / 2,
+        # below test row gets -f, above test row +f
+        for i in range(1, nz):
+            T[2 * i - 1, 2 * i - 1] += -0.5
+            T[2 * i - 1, 2 * i] += -0.5
+            T[2 * i, 2 * i - 1] += 0.5
+            T[2 * i, 2 * i] += 0.5
+        # surface: own-trace outflux on the top test row (bottom closed)
+        T[N - 1, N - 1] += -1.0
+        self._T_inv = np.linalg.inv(T)
+
+    def weak_divergence_rhs(self, uv3d, geom):
+        """The weak divergence of ``uv3d`` tested against the 3D test
+        set — exactly the horizontal-advection operator of
+        ``TracerEquation3D`` at tracer == 1 (same cell term, same
+        central inter-column fluxes, same own-trace boundary flux), with
+        the opposite sign: ``rhs`` of the weak w system."""
+        a3 = self.asm3d
+        mesh = a3.mesh
+        uv_q = a3.cell_values(uv3d)               # (nc, nz, nq, nqv, 2)
+        acc = jnp.concatenate(
+            [uv_q, jnp.zeros_like(uv_q[..., :1])], axis=-1)
+        r = a3.grad_to_dofs(acc, geom)
+        uv_tr = a3.facet_traces(uv3d)             # (nf, 2, nz, nqf, nqv, 2)
+        n = mesh.facet_normal[:, None, None, None, :]
+        un0 = (uv_tr[:, 0] * n).sum(-1)
+        un1 = (uv_tr[:, 1] * n).sum(-1)
+        un_av = 0.5 * (un0 + un1)
+        dt = un0.dtype
+        mi = jnp.asarray(self._mask_int, dtype=dt).reshape(-1, 1, 1, 1)
+        mb = jnp.asarray(self._mask_bnd, dtype=dt).reshape(-1, 1, 1, 1)
+        acc_f = jnp.stack([-un_av * mi - un0 * mb, un_av * mi], axis=1)
+        return -(r + a3.vfacet_to_dofs(acc_f, geom))
+
+    def solve_weak(self, uv3d, geom):
+        """:arg uv3d: (nc, 3, nz, 2, 2); returns w (nc, 3, nz, 2) from
+        the weak continuity equation (see class doc)."""
+        rhs = self.weak_divergence_rhs(uv3d, geom)
+        mesh = self.asm3d.mesh
+        dt = rhs.dtype
+        Mh_inv = jnp.asarray(self._Mh_inv_ref, dtype=dt)
+        T_inv = jnp.asarray(self._T_inv, dtype=dt)
+        t = jnp.einsum("ij,cjlv->cilv", Mh_inv, rhs) \
+            / mesh.detJ[:, None, None, None]
+        nc = rhs.shape[0]
+        w = t.reshape(nc, 3, -1) @ T_inv.T
+        return w.reshape(rhs.shape)
 
     def solve(self, uv3d, geom):
         """:arg uv3d: (nc, 3, nz, 2, 2); returns w (nc, 3, nz, 2)."""

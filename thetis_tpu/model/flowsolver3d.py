@@ -103,6 +103,14 @@ class ModelOptions3d(ModelOptions2d):
             # ALE moving mesh (ref ``options.py:1074``): False freezes
             # the 3D mesh at the rest position (fixed-mesh mode)
             use_ale_moving_mesh=True,
+            # weak (flux-consistent) vertical-velocity solve (the
+            # reference's formulation, ref ``utility3d.py:27-129``): the
+            # tracer advection sees a discretely divergence-consistent
+            # velocity (uniform-tracer residual vanishes row-by-row away
+            # from the free surface), restoring second-order coupled
+            # convergence.  False = pointwise column integration of the
+            # projected divergence (round-1 scheme, marginally cheaper).
+            use_flux_consistent_w=True,
             vertical_velocity_scale=1e-4,
             use_automatic_timestep=False,
             # mode-split dt control (ref ``solver.py:371-398``,
@@ -921,7 +929,9 @@ class FlowSolver:
             uv_adv = state["uv_3d"] + expand_function_to_3d(
                 uv_adv_2d, ext.nz
             )
-            w_adv = w_solver.solve(uv_adv, geom0)
+            w_adv = (w_solver.solve_weak(uv_adv, geom0)
+                     if getattr(o, "use_flux_consistent_w", True)
+                     else w_solver.solve(uv_adv, geom0))
 
             # 3D velocity: total = deviation + expanded 2D
             uv_total = state["uv_3d"] + expand_function_to_3d(
@@ -1204,7 +1214,10 @@ class FlowSolver:
         geom = self.asm3d.layer_geometry(
             self.extruded.z_interfaces(self.bathy_cell, elev_mesh)
         )
-        f.w_3d.data = self.w_solver.solve(
+        _wsolve = (self.w_solver.solve_weak
+                   if getattr(self.options, "use_flux_consistent_w", True)
+                   else self.w_solver.solve)
+        f.w_3d.data = _wsolve(
             s["uv_3d"] + expand_function_to_3d(s["uv"], self.extruded.nz),
             geom,
         )
